@@ -1,0 +1,69 @@
+"""Test configuration.
+
+Tests run on a virtual 8-device CPU mesh so multi-chip sharding logic is
+exercised without TPU hardware (the driver separately dry-run-compiles the
+multi-chip path; benches run on the real chip).  Must be set before any jax
+import anywhere in the test process.
+"""
+
+import os
+
+os.environ.setdefault("JAX_PLATFORMS", "cpu")
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+import pytest
+
+REFERENCE_BMP = "/root/reference/example_input/sample_1280×853.bmp"
+
+
+@pytest.fixture(scope="session")
+def sample_bmp() -> np.ndarray:
+    """The reference repo's sample input (3,275,658-byte 24-bit BMP)."""
+    if not os.path.exists(REFERENCE_BMP):
+        pytest.skip("reference sample BMP not available")
+    return np.fromfile(REFERENCE_BMP, np.uint8)
+
+
+def rng(seed: int = 0) -> np.random.Generator:
+    return np.random.default_rng(seed)
+
+
+@pytest.fixture
+def fuzz_inputs():
+    """A battery of adversarial byte streams covering the degenerate cases
+    the reference guards (SURVEY.md §4): empty, sub-frame, exact-frame,
+    tail frames, all-zero (bit-width floor 1), full-range, low-entropy,
+    long runs straddling the 255 cap."""
+    g = rng(1234)
+    cases = [
+        np.zeros(0, np.uint8),
+        np.zeros(1, np.uint8),
+        np.array([255], np.uint8),
+        np.zeros(128, np.uint8),
+        np.zeros(129, np.uint8),
+        np.full(127, 1, np.uint8),
+        np.full(128, 255, np.uint8),
+        g.integers(0, 256, 1, np.uint8),
+        g.integers(0, 2, 1024, np.uint8),
+        g.integers(0, 16, 1000, np.uint8),
+        g.integers(0, 256, 128 * 7 + 13, np.uint8),
+        g.integers(0, 256, 4096, np.uint8),
+        np.repeat(g.integers(0, 4, 64, np.uint8), 97)[:3000],
+        np.full(255, 7, np.uint8),
+        np.full(256, 7, np.uint8),
+        np.full(510, 7, np.uint8),
+        np.full(511, 7, np.uint8),
+        np.full(1021, 7, np.uint8),
+        np.concatenate([np.full(600, 3, np.uint8),
+                        g.integers(0, 256, 600, np.uint8)]),
+        np.arange(256, dtype=np.uint8).repeat(5),
+    ]
+    return cases
