@@ -1,0 +1,198 @@
+"""Command-line interface (reference components #1-2).
+
+Mirrors the reference CLI surface (``compress <operation> <method> <input>
+<output>``, ``/root/reference/src/main.cu:18-33`` +
+``src/args_parser.cu:8-76``) and extends it with the knobs the reference's
+design doc promised but never implemented (runtime frame length,
+``IMPLEMENTATION-PLAN.md:15``) plus the RL methods its README advertises but
+its parser rejects (``README.md:25-26`` vs ``args_parser.cu:30-53``).
+
+Methods:
+
+==========  ================================================================
+``fl``      FL on one TPU chip (reference ``fl`` GPU path)
+``fl-cpu``  FL on host via the NumPy golden (reference ``fl-cpu``)
+``fl-dist`` FL over all chips, rank-ordered host merge (``fl-mpi`` analog)
+``fl-ici``  FL over all chips, on-device all-gather merge (``fl-nccl``
+            analog — the collective rides ICI instead of NCCL)
+``rl``      RL on one TPU chip (spec-only in the reference)
+``rl-cpu``  RL on host via the NumPy golden
+``rl-dist`` RL over all chips (per-shard runs, boundary runs split)
+==========  ================================================================
+
+``fl-mpi``/``fl-nccl`` are accepted as compatibility aliases.  ``fl-shmem``
+(an enum value with no implementation in the reference, silently degrading
+to CPU there — ``main.cu:90-92``) maps to ``fl-dist`` with a notice instead
+of silently changing backends.
+
+Unlike the reference, decompression is available distributed for every
+method (the reference decompresses ``fl`` on one GPU and everything else on
+one CPU thread, ``main.cu:131-169``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+import numpy as np
+
+from . import container
+from .ops.bitpack import FRAME_LENGTH
+from .utils.timers import timed
+
+_ALIASES = {"fl-mpi": "fl-dist", "fl-nccl": "fl-ici"}
+_METHODS = ("fl", "fl-cpu", "fl-dist", "fl-ici", "rl", "rl-cpu", "rl-dist",
+            "fl-mpi", "fl-nccl", "fl-shmem")
+
+
+def _parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog="fl_rl_compression_mpi_tpu",
+        description="TPU-native FL/RL lossless compression",
+        epilog="example: python -m fl_rl_compression_mpi_tpu c fl in.bin "
+               "out.fl")
+    p.add_argument("operation", choices=("c", "d"),
+                   help="c = compress, d = decompress")
+    p.add_argument("method", choices=_METHODS)
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--frame-length", type=int, default=FRAME_LENGTH,
+                   help="FL frame length in bytes (default 128; must divide "
+                        "by 8 for frame byte-alignment)")
+    p.add_argument("--timers", action="store_true",
+                   help="print [TIMER] phase lines like the reference")
+    p.add_argument("--profile", metavar="LOGDIR", default=None,
+                   help="capture a jax.profiler trace of the codec phase")
+    p.add_argument("--devices", type=int, default=None,
+                   help="number of chips for distributed methods "
+                        "(default: all)")
+    return p
+
+
+def _resolve(method: str) -> str:
+    if method == "fl-shmem":
+        print("[INFO] fl-shmem: no SHMEM on TPU; using fl-dist "
+              "(the reference silently degraded this to CPU)",
+              file=sys.stderr)
+        return "fl-dist"
+    return _ALIASES.get(method, method)
+
+
+def _compress(args, data: np.ndarray) -> None:
+    method = _resolve(args.method)
+    fam = "rl" if method.startswith("rl") else "fl"
+    from .utils.timers import profiler_trace
+    with timed("compression", nbytes=data.size, enabled=args.timers), \
+            profiler_trace(args.profile):
+        if method == "fl":
+            from .ops import fl_jax
+            bits, values = fl_jax.encode(data, args.frame_length)
+            comp = container.FLCompressed(bits, values, data.size)
+        elif method == "fl-cpu":
+            from .ops import fl_numpy
+            bits, values = fl_numpy.encode(data, args.frame_length)
+            comp = container.FLCompressed(bits, values, data.size)
+        elif method in ("fl-dist", "fl-ici"):
+            from .parallel import dist
+            mesh = dist.make_mesh(args.devices)
+            if method == "fl-dist":
+                comp = dist.compress_fl(data, mesh, args.frame_length)
+            else:
+                comp = dist.compress_fl_ici(data, mesh, args.frame_length)
+        elif method == "rl":
+            from .ops import rl_jax
+            counts, values = rl_jax.encode(data)
+            comp = container.RLCompressed(counts, values, data.size)
+        elif method == "rl-cpu":
+            from .ops import rl_numpy
+            counts, values = rl_numpy.encode(data)
+            comp = container.RLCompressed(counts, values, data.size)
+        elif method == "rl-dist":
+            from .parallel import dist
+            comp = dist.compress_rl(data, dist.make_mesh(args.devices))
+        else:  # pragma: no cover
+            raise ValueError(method)
+    with timed("saving output", enabled=args.timers):
+        if fam == "fl":
+            container.save_fl(args.output, comp)
+        else:
+            container.save_rl(args.output, comp)
+
+
+def _decompress(args) -> None:
+    method = _resolve(args.method)
+    fam = "rl" if method.startswith("rl") else "fl"
+    with timed("loading compressed input", enabled=args.timers):
+        comp = (container.load_rl(args.input) if fam == "rl"
+                else container.load_fl(args.input))
+    from .utils.timers import profiler_trace
+    with timed("decompression", nbytes=int(comp.input_size),
+               enabled=args.timers), profiler_trace(args.profile):
+        if method == "fl":
+            from .ops import fl_jax
+            out = fl_jax.decode(comp.input_size, comp.bits, comp.values,
+                                args.frame_length)
+        elif method == "fl-cpu":
+            from .ops import fl_numpy
+            out = fl_numpy.decode(comp.input_size, comp.bits, comp.values,
+                                  args.frame_length)
+        elif method in ("fl-dist", "fl-ici"):
+            from .parallel import dist
+            out = dist.decompress_fl(comp, dist.make_mesh(args.devices),
+                                     args.frame_length)
+        elif method == "rl":
+            from .ops import rl_jax
+            out = rl_jax.decode(comp.counts, comp.values)
+        elif method == "rl-cpu":
+            from .ops import rl_numpy
+            out = rl_numpy.decode(comp.counts, comp.values)
+        elif method == "rl-dist":
+            from .parallel import dist
+            out = dist.decompress_rl(comp, dist.make_mesh(args.devices))
+        else:  # pragma: no cover
+            raise ValueError(method)
+    with timed("saving output", nbytes=out.size, enabled=args.timers):
+        from .fileio import save_file
+        save_file(args.output, out)
+
+
+def _enable_compile_cache() -> None:
+    """Persistent XLA compilation cache: CLI invocations are one process per
+    run (like the reference binary), so without this every run pays the full
+    TPU compile.  Opt out with JAX_COMPILATION_CACHE_DIR=''."""
+    import os
+
+    import jax
+    cache = os.environ.get("JAX_COMPILATION_CACHE_DIR",
+                           os.path.expanduser("~/.cache/flrl_jax"))
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+
+def main(argv=None) -> int:
+    args = _parser().parse_args(argv)
+    _enable_compile_cache()
+    if args.frame_length <= 0 or args.frame_length % 8:
+        print("[ERROR] --frame-length must be a positive multiple of 8 "
+              "(frame byte-alignment invariant)", file=sys.stderr)
+        return 2
+    try:
+        if args.operation == "c":
+            with timed("loading input", enabled=args.timers) as t:
+                from .fileio import load_file
+                data = load_file(args.input)
+                t.add_transfer_size(data.size)
+            _compress(args, data)
+        else:
+            _decompress(args)
+    except (OSError, ValueError) as e:
+        # the reference catches and tags errors the same way (main.cu:95-99)
+        print(f"[ERROR] {e}", file=sys.stderr)
+        return 1
+    return 0
+
+
+if __name__ == "__main__":  # pragma: no cover
+    sys.exit(main())

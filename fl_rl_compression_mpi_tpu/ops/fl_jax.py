@@ -40,6 +40,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .bitpack import FRAME_LENGTH, MAX_WIDTH, pack_tables
+from .ragged import ragged_concat_rows
 
 
 class FLEncoded(NamedTuple):
@@ -102,20 +103,11 @@ def fl_encode(data: jax.Array, n: jax.Array,
             packed = jnp.pad(packed, ((0, 0), (0, row_bytes - nbytes)))
         padded = jnp.where((bits == b)[:, None], packed, padded)
 
-    # Frame placement: exclusive scan of per-frame byte counts.
+    # Frame placement: exclusive scan of per-frame byte counts, then the
+    # shared scan-based ragged compaction (no atomics, static shapes).
     nb = (counts * bits + 7) // 8                  # 0 for empty frames
-    offsets = jnp.cumsum(nb) - nb                  # exclusive
-    values_size = offsets[-1] + nb[-1] if num_frames_pad else jnp.int32(0)
-
-    # Ragged compaction: frame-id per output byte via mark + inclusive scan,
-    # then one flat gather — no atomics, no data-dependent shapes.
-    mark = jnp.zeros(npad, jnp.int32).at[offsets].add(
-        jnp.where(nb > 0, 1, 0), mode="drop")
-    fid = jnp.cumsum(mark) - 1
-    fid = jnp.clip(fid, 0, num_frames_pad - 1)
-    local = idx - offsets[fid]
-    vals = padded.reshape(-1)[fid * row_bytes + local]
-    values = jnp.where(idx < values_size, vals, 0).astype(jnp.uint8)
+    values, values_size = ragged_concat_rows(padded, nb, out_pad=npad)
+    values = values.astype(jnp.uint8)
 
     num_frames = (n + frame_length - 1) // frame_length
     return FLEncoded(bits=bits.astype(jnp.uint8), values=values,

@@ -1,0 +1,322 @@
+"""Multi-chip distributed compression over a 1-D device mesh.
+
+The reference distributes with one MPI rank + one GPU per file chunk and
+gathers to rank 0 (MPI point-to-point, ``/root/reference/src/fl/fl_gpu.cu:
+41-74``) or with a max-padded ``ncclAllGather`` + offset compaction
+(``fl_gpu.cu:76-287``).  TPU-native, both collapse into one SPMD program:
+
+* a 1-D ``jax.sharding.Mesh`` over all chips, axis ``"dp"`` — data
+  parallelism is the reference's only strategy (SURVEY.md §2) and the right
+  one for an embarrassingly parallel codec;
+* the file is split into frame-aligned chunks with the reference's rule
+  ``chunk = (S // (L·N)) · L``, last shard takes the remainder
+  (``file_io.cu:46-51`` — reproduced in 64-bit math, not the reference's
+  overflowing ``int``);
+* ``jax.shard_map`` runs the single-chip codec per shard;
+* the merge is either **host-side** (pull each shard's valid slice and
+  concatenate in rank order — the MPI-gather analog; lossless because shard
+  boundaries are frame multiples, SURVEY.md finding #3) or **on-device**
+  via ``jax.lax.all_gather`` over ICI + the shared scan-based ragged
+  compaction (the NCCL-AllGather analog, with XLA inserting the collective).
+
+Per-shard sizes are exchanged implicitly: the all-gather carries the scalar
+true sizes alongside the padded payloads, exactly the reference's
+``MPI_Allgather`` of {bitsSize, valuesSize, inputSize} (``fl_gpu.cu:101-106``)
+— except here it rides ICI inside the compiled program instead of DCN.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..container import FLCompressed, RLCompressed
+from ..ops import fl_jax, rl_jax
+from ..ops.bitpack import FRAME_LENGTH
+from ..ops.ragged import ragged_concat_rows
+
+AXIS = "dp"
+
+
+def make_mesh(num_devices: int | None = None) -> Mesh:
+    """1-D mesh over the first ``num_devices`` (default: all) local devices."""
+    devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+class ShardPlan(NamedTuple):
+    """Host-side split of an ``total``-byte input into frame-aligned shards
+    (the reference's ``loadFileMpi`` split, ``file_io.cu:46-51``)."""
+    num_shards: int
+    shard_npad: int          # static per-shard buffer (frame multiple)
+    ns: np.ndarray           # i64[num_shards] true bytes per shard
+    total: int
+
+    @property
+    def frames_pad(self) -> int:
+        return self.shard_npad // FRAME_LENGTH
+
+
+def plan_shards(total: int, num_shards: int,
+                frame_length: int = FRAME_LENGTH,
+                bucket_frames: int = 8192) -> ShardPlan:
+    chunk = (total // (frame_length * num_shards)) * frame_length
+    ns = np.full(num_shards, chunk, np.int64)
+    ns[-1] = total - chunk * (num_shards - 1)
+    npad = fl_jax.pad_to_frames(int(ns.max()), frame_length, bucket_frames)
+    return ShardPlan(num_shards, npad, ns, total)
+
+
+def shard_host_data(data: np.ndarray, plan: ShardPlan) -> np.ndarray:
+    """Scatter host bytes into the padded ``(N, shard_npad)`` layout."""
+    out = np.zeros((plan.num_shards, plan.shard_npad), np.uint8)
+    off = 0
+    for i, n in enumerate(plan.ns):
+        out[i, :n] = data[off:off + n]
+        off += int(n)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# FL
+# ---------------------------------------------------------------------------
+
+def _fl_local_encode(frame_length):
+    def f(block, n):
+        enc = fl_jax.fl_encode(block[0], n[0], frame_length=frame_length)
+        return (enc.bits[None], enc.values[None], enc.num_frames[None],
+                enc.values_size[None])
+    return f
+
+
+def fl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array,
+                        frame_length: int = FRAME_LENGTH):
+    """Per-shard encode; outputs stay sharded over ``dp`` (MPI-gather analog:
+    the host later pulls valid slices in rank order)."""
+    f = jax.shard_map(
+        _fl_local_encode(frame_length), mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)))
+    return jax.jit(f)(data2d, ns)
+
+
+def _fl_merged_encode(frame_length):
+    def f(block, n):
+        enc = fl_jax.fl_encode(block[0], n[0], frame_length=frame_length)
+        # ICI all-gather of payloads + sizes (the NCCL-AllGather analog:
+        # padded payload exchange, fl_gpu.cu:144-194), then the scan-based
+        # compaction replacing the reference's per-rank D2D memcpy loop
+        # (fl_gpu.cu:217-241).
+        bits_g = jax.lax.all_gather(enc.bits, AXIS)          # (N, Fp)
+        nf_g = jax.lax.all_gather(enc.num_frames, AXIS)      # (N,)
+        vals_g = jax.lax.all_gather(enc.values, AXIS)        # (N, npad)
+        vsz_g = jax.lax.all_gather(enc.values_size, AXIS)    # (N,)
+        bits_m, nf_tot = ragged_concat_rows(bits_g, nf_g)
+        vals_m, vsz_tot = ragged_concat_rows(vals_g, vsz_g)
+        return bits_m, vals_m, nf_tot, vsz_tot
+    return f
+
+
+def fl_compress_merged(mesh: Mesh, data2d: jax.Array, ns: jax.Array,
+                       frame_length: int = FRAME_LENGTH):
+    """Encode + on-device rank-ordered merge; outputs replicated on every
+    chip (like the reference NCCL path, where every rank redundantly holds
+    the gathered result, ``fl_gpu.cu:179-241``)."""
+    # all_gather outputs are value-identical on every chip but JAX's static
+    # replication (vma) analysis cannot infer that, so the check is off.
+    f = jax.shard_map(
+        _fl_merged_encode(frame_length), mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(), P(), P(), P()), check_vma=False)
+    return jax.jit(f)(data2d, ns)
+
+
+def _fl_local_decode(frame_length):
+    def f(bits, values, n):
+        out = fl_jax.fl_decode(bits[0], values[0], n[0],
+                               frame_length=frame_length)
+        return out[None]
+    return f
+
+
+def fl_decompress_sharded(mesh: Mesh, bits2d: jax.Array, values2d: jax.Array,
+                          ns: jax.Array, frame_length: int = FRAME_LENGTH):
+    """Distributed decode — each shard decodes its own frame range.  The
+    reference has no distributed decompression at all (``main.cu:131-169``
+    falls back to single-process CPU); frame alignment makes it natural here.
+    """
+    f = jax.shard_map(
+        _fl_local_decode(frame_length), mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+        out_specs=P(AXIS, None))
+    return jax.jit(f)(bits2d, values2d, ns)
+
+
+# ---------------------------------------------------------------------------
+# RL
+# ---------------------------------------------------------------------------
+
+def _rl_local_encode(block, n):
+    enc = rl_jax.rl_encode(block[0], n[0])
+    return enc.counts[None], enc.values[None], enc.num_runs[None]
+
+
+def rl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array):
+    """Per-shard RL encode.  Runs crossing a shard boundary are split into
+    two runs — decode is still lossless; the container is deterministic
+    given (data, shard plan).  The reference defines no distributed RL at
+    all (RL exists only as a spec), so per-shard-concat is our canonical
+    distributed semantics."""
+    f = jax.shard_map(
+        _rl_local_encode, mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS)),
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)))
+    return jax.jit(f)(data2d, ns)
+
+
+# ---------------------------------------------------------------------------
+# Host-facing whole-file API (single host, N local chips).
+# ---------------------------------------------------------------------------
+
+def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
+                frame_length: int = FRAME_LENGTH,
+                bucket_frames: int = 8192) -> FLCompressed:
+    data = np.asarray(data, np.uint8)
+    if data.size == 0:
+        return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
+    data2d = shard_host_data(data, plan)
+    bits, values, nf, vsz = jax.device_get(fl_compress_sharded(
+        mesh, jnp.asarray(data2d), jnp.asarray(plan.ns, jnp.int32),
+        frame_length))
+    # Rank-ordered host merge (MergeFLCompressed analog, fl_common.cuh:95).
+    return FLCompressed(
+        bits=np.concatenate([bits[i, : nf[i]] for i in range(n_dev)]),
+        values=np.concatenate([values[i, : vsz[i]] for i in range(n_dev)]),
+        input_size=data.size)
+
+
+def compress_fl_ici(data: np.ndarray, mesh: Mesh | None = None,
+                    frame_length: int = FRAME_LENGTH,
+                    bucket_frames: int = 8192) -> FLCompressed:
+    """Like :func:`compress_fl` but merging on device over ICI (all-gather +
+    scan compaction — the reference NCCL path's analog); the host then pulls
+    one dense replicated result instead of N shard slices."""
+    data = np.asarray(data, np.uint8)
+    if data.size == 0:
+        return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
+    data2d = shard_host_data(data, plan)
+    bits_m, vals_m, nf, vsz = jax.device_get(fl_compress_merged(
+        mesh, jnp.asarray(data2d), jnp.asarray(plan.ns, jnp.int32),
+        frame_length))
+    return FLCompressed(bits=bits_m[: int(nf)], values=vals_m[: int(vsz)],
+                        input_size=data.size)
+
+
+def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
+                  frame_length: int = FRAME_LENGTH,
+                  bucket_frames: int = 8192) -> np.ndarray:
+    n = int(comp.input_size)
+    if n == 0 or comp.bits.size == 0:
+        return np.zeros(0, np.uint8)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    plan = plan_shards(n, n_dev, frame_length, bucket_frames)
+    # Host-side frame bookkeeping: per-shard bits slices and packed-byte
+    # ranges (cheap: one pass over F frame widths).
+    fstart = 0
+    bits2d = np.zeros((n_dev, plan.frames_pad), np.uint8)
+    values2d = np.zeros((n_dev, plan.shard_npad), np.uint8)
+    voff = 0
+    for i in range(n_dev):
+        nf_i = (int(plan.ns[i]) + frame_length - 1) // frame_length
+        b = comp.bits[fstart:fstart + nf_i].astype(np.int64)
+        cnt = np.minimum(
+            int(plan.ns[i]) - np.arange(nf_i, dtype=np.int64) * frame_length,
+            frame_length)
+        vbytes = int(((b * cnt + 7) // 8).sum())
+        bits2d[i, :nf_i] = comp.bits[fstart:fstart + nf_i]
+        values2d[i, :vbytes] = comp.values[voff:voff + vbytes]
+        fstart += nf_i
+        voff += vbytes
+    out = jax.device_get(fl_decompress_sharded(
+        mesh, jnp.asarray(bits2d), jnp.asarray(values2d),
+        jnp.asarray(plan.ns, jnp.int32), frame_length))
+    return np.concatenate(
+        [out[i, : plan.ns[i]] for i in range(n_dev)])
+
+
+def compress_rl(data: np.ndarray, mesh: Mesh | None = None,
+                bucket_frames: int = 8192) -> RLCompressed:
+    data = np.asarray(data, np.uint8)
+    if data.size == 0:
+        return RLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    plan = plan_shards(data.size, n_dev, FRAME_LENGTH, bucket_frames)
+    data2d = shard_host_data(data, plan)
+    counts, values, nr = jax.device_get(rl_compress_sharded(
+        mesh, jnp.asarray(data2d), jnp.asarray(plan.ns, jnp.int32)))
+    return RLCompressed(
+        counts=np.concatenate([counts[i, : nr[i]] for i in range(n_dev)]),
+        values=np.concatenate([values[i, : nr[i]] for i in range(n_dev)]),
+        input_size=data.size)
+
+
+def _rl_local_decode(out_pad):
+    def f(counts, values, nr, n):
+        return rl_jax.rl_decode(counts[0], values[0], nr[0], n[0],
+                                out_pad)[None]
+    return f
+
+
+def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
+                          out_pad: int):
+    f = jax.shard_map(
+        _rl_local_decode(out_pad), mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS, None))
+    return jax.jit(f)(counts2d, values2d, nrs, ns)
+
+
+def decompress_rl(comp: RLCompressed, mesh: Mesh | None = None,
+                  bucket: int = 1 << 16) -> np.ndarray:
+    """Distributed RL decode.  Run boundaries are data-dependent (not
+    shard-aligned), so the *run list* is split evenly across shards; the
+    host computes each shard's decoded byte range with one cumsum and each
+    shard decodes its runs independently."""
+    r_total = int(comp.counts.size)
+    if r_total == 0:
+        return np.zeros(0, np.uint8)
+    mesh = mesh or make_mesh()
+    n_dev = mesh.devices.size
+    per = -(-r_total // n_dev)
+    rpad = max(bucket, -(-per // bucket) * bucket)
+    counts2d = np.zeros((n_dev, rpad), np.uint8)
+    values2d = np.zeros((n_dev, rpad), np.uint8)
+    nrs = np.zeros(n_dev, np.int32)
+    ns = np.zeros(n_dev, np.int64)
+    for i in range(n_dev):
+        lo, hi = i * per, min((i + 1) * per, r_total)
+        if hi > lo:
+            counts2d[i, : hi - lo] = comp.counts[lo:hi]
+            values2d[i, : hi - lo] = comp.values[lo:hi]
+            nrs[i] = hi - lo
+            ns[i] = int(comp.counts[lo:hi].astype(np.int64).sum())
+    out_pad = max(bucket,
+                  -(-int(ns.max()) // bucket) * bucket)
+    out = jax.device_get(rl_decompress_sharded(
+        mesh, jnp.asarray(counts2d), jnp.asarray(values2d),
+        jnp.asarray(nrs), jnp.asarray(ns, jnp.int32), out_pad))
+    return np.concatenate([out[i, : ns[i]] for i in range(n_dev)])

@@ -8,11 +8,20 @@ import anywhere in the test process.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force CPU even when the environment preselects the TPU platform (the
+# driver's bench runs use the real chip; tests need the 8-device mesh).
+# NOTE: this image's sitecustomize imports jax at interpreter startup, so
+# env vars alone are too late — use jax.config, which works post-import as
+# long as no backend has been initialized yet.
+os.environ["JAX_PLATFORMS"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import sys
 

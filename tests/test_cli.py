@@ -1,0 +1,77 @@
+"""CLI round-trip tests (in-process, CPU mesh from conftest)."""
+
+import numpy as np
+import pytest
+
+from fl_rl_compression_mpi_tpu.cli import main
+
+
+@pytest.fixture
+def blob(tmp_path):
+    g = np.random.default_rng(0)
+    data = g.integers(0, 32, 128 * 300 + 55, np.uint8)
+    p = str(tmp_path / "in.bin")
+    data.tofile(p)
+    return p, data
+
+
+@pytest.mark.parametrize("method", [
+    "fl", "fl-cpu", "fl-dist", "fl-ici", "fl-mpi", "fl-nccl",
+    "rl", "rl-cpu", "rl-dist"])
+def test_roundtrip(method, blob, tmp_path):
+    src, data = blob
+    comp = str(tmp_path / "out.comp")
+    back = str(tmp_path / "out.bin")
+    assert main(["c", method, src, comp]) == 0
+    assert main(["d", method, comp, back]) == 0
+    np.testing.assert_array_equal(np.fromfile(back, np.uint8), data)
+
+
+def test_methods_interoperate(blob, tmp_path):
+    """Every FL method reads every other FL method's container."""
+    src, data = blob
+    a = str(tmp_path / "a.fl")
+    assert main(["c", "fl-cpu", src, a]) == 0
+    for d_method in ("fl", "fl-dist"):
+        back = str(tmp_path / f"{d_method}.bin")
+        assert main(["d", d_method, a, back]) == 0
+        np.testing.assert_array_equal(np.fromfile(back, np.uint8), data)
+
+
+def test_fl_shmem_alias(blob, tmp_path, capsys):
+    src, data = blob
+    comp = str(tmp_path / "o.fl")
+    assert main(["c", "fl-shmem", src, comp]) == 0
+    back = str(tmp_path / "o.bin")
+    assert main(["d", "fl", comp, back]) == 0
+    np.testing.assert_array_equal(np.fromfile(back, np.uint8), data)
+
+
+def test_bad_frame_length(blob, tmp_path):
+    src, _ = blob
+    assert main(["c", "fl", src, str(tmp_path / "x"),
+                 "--frame-length", "100"]) == 2
+
+
+def test_missing_input(tmp_path):
+    assert main(["c", "fl", str(tmp_path / "nope.bin"),
+                 str(tmp_path / "x")]) == 1
+
+
+def test_timers_output(blob, tmp_path, capsys):
+    src, _ = blob
+    assert main(["c", "fl-cpu", src, str(tmp_path / "o.fl"),
+                 "--timers"]) == 0
+    out = capsys.readouterr().out
+    assert "[TIMER] loading input" in out
+    assert "[TIMER] compression" in out
+    assert "B/s" in out  # throughput report
+
+
+def test_custom_frame_length_roundtrip(blob, tmp_path):
+    src, data = blob
+    comp = str(tmp_path / "o.fl")
+    back = str(tmp_path / "o.bin")
+    assert main(["c", "fl", src, comp, "--frame-length", "64"]) == 0
+    assert main(["d", "fl-cpu", comp, back, "--frame-length", "64"]) == 0
+    np.testing.assert_array_equal(np.fromfile(back, np.uint8), data)

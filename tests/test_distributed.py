@@ -1,0 +1,87 @@
+"""Multi-chip distributed compression tests on the virtual 8-device CPU mesh.
+
+These exercise the real sharding logic — `shard_map` over a 1-D dp mesh,
+ICI all-gather merge, rank-ordered host assembly — without TPU hardware
+(SURVEY.md §4(d): TPU-native replacement for the reference's untestable
+multi-node story).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_rl_compression_mpi_tpu.ops import fl_numpy, rl_numpy
+from fl_rl_compression_mpi_tpu.parallel import dist
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    assert jax.device_count() == 8, "conftest must provide 8 virtual devices"
+    return dist.make_mesh()
+
+
+def _mk(seed, size, hi=64):
+    return np.random.default_rng(seed).integers(0, hi, size, np.uint8)
+
+
+def test_plan_shards_reference_split_rule():
+    # chunk = (S // (L*N)) * L, last shard takes remainder (file_io.cu:46-51)
+    plan = dist.plan_shards(1_000_000, 8)
+    assert plan.ns[:-1].tolist() == [(1_000_000 // (128 * 8)) * 128] * 7
+    assert plan.ns.sum() == 1_000_000
+    assert all(n % 128 == 0 for n in plan.ns[:-1])
+
+
+def test_fl_distributed_equals_single(mesh):
+    """Frame-aligned shard concat must be byte-identical to the single-chip
+    encode (SURVEY.md finding #3)."""
+    for size in (128 * 8 * 100, 999_999, 12_345):
+        data = _mk(size, size)
+        comp = dist.compress_fl(data, mesh, bucket_frames=64)
+        bits_g, values_g = fl_numpy.encode(data)
+        np.testing.assert_array_equal(comp.bits, bits_g)
+        np.testing.assert_array_equal(comp.values, values_g)
+        out = dist.decompress_fl(comp, mesh, bucket_frames=64)
+        np.testing.assert_array_equal(out, data)
+
+
+def test_fl_merged_on_device(mesh):
+    """The all-gather + on-device compaction path must produce the same
+    dense streams as the host-side merge."""
+    data = _mk(1, 128 * 8 * 64 + 777)
+    plan = dist.plan_shards(data.size, 8, bucket_frames=64)
+    d2 = jnp.asarray(dist.shard_host_data(data, plan))
+    ns = jnp.asarray(plan.ns, jnp.int32)
+    bits_m, vals_m, nf, vsz = jax.device_get(
+        dist.fl_compress_merged(mesh, d2, ns))
+    bits_g, values_g = fl_numpy.encode(data)
+    assert int(nf) == bits_g.size
+    assert int(vsz) == values_g.size
+    np.testing.assert_array_equal(bits_m[: int(nf)], bits_g)
+    np.testing.assert_array_equal(vals_m[: int(vsz)], values_g)
+
+
+def test_rl_distributed_roundtrip(mesh):
+    for size in (100_000, 12_345):
+        for data in (_mk(2, size, 4),
+                     np.repeat(_mk(3, size // 100 + 1, 8), 300)[:size],
+                     np.zeros(size, np.uint8)):
+            comp = dist.compress_rl(data, mesh, bucket_frames=64)
+            out = dist.decompress_rl(comp, mesh, bucket=1024)
+            np.testing.assert_array_equal(out, data)
+            # boundary-split runs cost at most N-1 extra runs vs single-chip
+            c_g, _ = rl_numpy.encode(data)
+            assert comp.counts.size <= c_g.size + 7
+
+
+def test_small_input_fewer_bytes_than_shards(mesh):
+    """Inputs smaller than one frame per shard still round-trip."""
+    for size in (1, 17, 128, 129, 1000):
+        data = _mk(4, size, 256)
+        comp = dist.compress_fl(data, mesh, bucket_frames=4)
+        np.testing.assert_array_equal(
+            dist.decompress_fl(comp, mesh, bucket_frames=4), data)
+        rcomp = dist.compress_rl(data, mesh, bucket_frames=4)
+        np.testing.assert_array_equal(
+            dist.decompress_rl(rcomp, mesh, bucket=64), data)
