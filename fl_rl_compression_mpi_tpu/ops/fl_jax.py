@@ -5,23 +5,28 @@ the golden NumPy implementation (`fl_numpy.py`) and, transitively, by the
 reference CPU codec (``/root/reference/src/fl/fl_cpu.cu``).  Nothing here is a
 translation of the reference CUDA kernels (``fl_gpu.cu:648-755``): the
 thread-per-byte + sub-word-atomic style is anti-idiomatic on TPU, so the
-algorithm is re-expressed as fixed-shape, branch-free vector ops that XLA can
-tile onto the VPU:
+algorithm is re-expressed as fixed-shape, branch-free vector ops that XLA
+tiles onto the VPU:
 
 * per-frame bit-widths: reshape ``(F, L)`` + ``max`` over the lane axis — the
   segmented max replaces the reference's shared-memory ``atomicMaxUint8t``
   tree (``fl_gpu.cu:648-685``);
-* packing: for each of the 8 possible widths the pack is a *static*
-  gather/shift/OR pattern (`bitpack.pack_tables`), so all 8 variants are
-  computed branch-free and selected per frame — no two writers ever share an
-  output byte, so the reference's ``atomicOrUint8t`` disappears by
-  construction;
-* frame placement: exclusive ``cumsum`` of per-frame byte counts (the
-  reference uses ``thrust::exclusive_scan``, ``fl_gpu.cu:805-808``) followed
-  by a mark/cumsum frame-id assignment and a flat gather — a scatter-free
-  ragged compaction;
-* decode: per output byte, a two-byte masked gather of the packed stream —
-  the vectorized form of ``decompressCalculateOutput`` (``fl_gpu.cu:728-755``).
+* packing: key invariant — 8 consecutive elements at width ``b`` pack to
+  exactly ``b`` bytes, so a frame is ``L/8`` *groups* of 8 elements, each
+  producing ``b`` contiguous output bytes.  For each of the 8 possible
+  widths the group pack is a **purely elementwise** shift/mask/add over
+  strided reshapes (every packed byte is a sum of disjoint-bit
+  contributions, so OR == ADD and no two writers share a byte — the
+  reference's ``atomicOrUint8t`` disappears by construction).  All 8
+  variants are computed branch-free and selected per frame;
+* placement: a full frame packs to ``b`` *units* of ``L/8`` bytes, so the
+  dense stream is a unit-granular ragged scatter — ``cumsum`` of per-frame
+  unit counts (the reference uses ``thrust::exclusive_scan``,
+  ``fl_gpu.cu:805-808``) + one row-scatter of ``L/8``-byte units, moving
+  16 bytes per index instead of 1;
+* decode: the exact inverse — unit-granular row gather, then the
+  elementwise per-variant unpack (the vectorized form of
+  ``decompressCalculateOutput``, ``fl_gpu.cu:728-755``).
 
 Shapes are static (XLA compiles once per padded-size bucket); the true input
 length ``n`` is a traced scalar so arbitrary file sizes reuse one executable.
@@ -39,8 +44,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .bitpack import FRAME_LENGTH, MAX_WIDTH, pack_tables
-from .ragged import ragged_concat_rows
+from .bitpack import FRAME_LENGTH, MAX_WIDTH
 
 
 class FLEncoded(NamedTuple):
@@ -73,43 +77,94 @@ def _required_bits(frame_max: jax.Array) -> jax.Array:
     return jnp.maximum(acc, 1)
 
 
+def _pack_variant(groups: jax.Array, b: int) -> jax.Array:
+    """Pack ``(F, G, 8)`` int32 element groups at fixed width ``b`` into
+    ``(F, G, b)`` bytes — elementwise only (shifts + adds of disjoint bits).
+
+    Element ``t`` of a group occupies bits ``[t*b, (t+1)*b)`` of the group's
+    ``8b``-bit chunk; its contribution to chunk byte ``r`` is the shifted
+    window overlapping ``[8r, 8r+8)`` — the same LSB-first layout as the
+    reference pack loop (``fl_cpu.cu:62-84``) without its running offset.
+    """
+    F, G, _ = groups.shape
+    out = [None] * b
+    for t in range(8):
+        lo_bit = t * b
+        r1, s1 = lo_bit // 8, lo_bit % 8
+        e = groups[:, :, t]
+        contrib = (e << s1) & 0xFF
+        out[r1] = contrib if out[r1] is None else out[r1] + contrib
+        r2 = (lo_bit + b - 1) // 8
+        if r2 != r1 and r2 < b:
+            spill = e >> (8 - s1)
+            out[r2] = spill if out[r2] is None else out[r2] + spill
+    return jnp.stack(out, axis=2)
+
+
+def _unpack_variant(packed: jax.Array, b: int) -> jax.Array:
+    """Inverse of :func:`_pack_variant`: ``(F, G, b)`` bytes → ``(F, G, 8)``
+    int32 elements (two-byte masked read with static indices per width —
+    the branchless form of ``fl_cpu.cu:126-136``)."""
+    mask = (1 << b) - 1
+    elems = []
+    for t in range(8):
+        lo_bit = t * b
+        r1, s1 = lo_bit // 8, lo_bit % 8
+        v = packed[:, :, r1] >> s1
+        r2 = (lo_bit + b - 1) // 8
+        if r2 != r1 and r2 < b:
+            v = v | (packed[:, :, r2] << (8 - s1))
+        elems.append(v & mask)
+    return jnp.stack(elems, axis=2)
+
+
 @functools.partial(jax.jit, static_argnames=("frame_length",))
 def fl_encode(data: jax.Array, n: jax.Array,
               frame_length: int = FRAME_LENGTH) -> FLEncoded:
     """Encode ``data[:n]``; ``data`` is u8 with static size divisible by
     ``frame_length``.  Bytes at index ≥ n may hold arbitrary junk."""
     npad = data.shape[0]
-    assert npad % frame_length == 0, "pad input to a frame multiple"
-    num_frames_pad = npad // frame_length
+    L = frame_length
+    assert npad % L == 0, "pad input to a frame multiple"
+    assert L % 8 == 0
+    G = L // 8                 # groups per frame == unit size in bytes
+    num_frames_pad = npad // L
     n = n.astype(jnp.int32)
 
     idx = jnp.arange(npad, dtype=jnp.int32)
     data = jnp.where(idx < n, data, 0).astype(jnp.uint8)
-    frames = data.reshape(num_frames_pad, frame_length).astype(jnp.int32)
+    frames = data.reshape(num_frames_pad, L).astype(jnp.int32)
 
-    counts = _frame_counts(n, num_frames_pad, frame_length)
+    counts = _frame_counts(n, num_frames_pad, L)
     bits = _required_bits(frames.max(axis=1))
 
-    # Branch-free 8-variant pack into worst-case (F, L) byte rows.
-    row_bytes = frame_length  # width-8 frames pack 1:1
-    padded = jnp.zeros((num_frames_pad, row_bytes), jnp.int32)
-    tables = pack_tables(frame_length)
+    # Branch-free 8-variant elementwise pack.  A frame's stream is its
+    # groups' chunks back to back (group-major): (G, b) bytes == b units of
+    # G contiguous stream bytes, so the per-variant reshape (F, G, b) →
+    # (F, b, G) is pure data movement — no transpose, no gather.
+    groups = frames.reshape(num_frames_pad, G, 8)
+    units = jnp.zeros((num_frames_pad, 8, G), jnp.int32)
     for b in range(1, MAX_WIDTH + 1):
-        tidx, ls, rs, valid, nbytes = tables[b]
-        g = frames[:, tidx]                       # (F, nbytes, T) static gather
-        v = jnp.where(valid[None], (g << ls[None]) >> rs[None], 0)
-        packed = jnp.bitwise_or.reduce(v, axis=2) & 0xFF
-        if nbytes < row_bytes:
-            packed = jnp.pad(packed, ((0, 0), (0, row_bytes - nbytes)))
-        padded = jnp.where((bits == b)[:, None], packed, padded)
+        pk = _pack_variant(groups, b)                      # (F, G, b)
+        pku = pk.reshape(num_frames_pad, b, G)             # b units of G
+        pku = jnp.pad(pku, ((0, 0), (0, 8 - b), (0, 0)))
+        units = jnp.where((bits == b)[:, None, None], pku, units)
 
-    # Frame placement: exclusive scan of per-frame byte counts, then the
-    # shared scan-based ragged compaction (no atomics, static shapes).
-    nb = (counts * bits + 7) // 8                  # 0 for empty frames
-    values, values_size = ragged_concat_rows(padded, nb, out_pad=npad)
-    values = values.astype(jnp.uint8)
+    nb = (counts * bits + 7) // 8                          # bytes per frame
+    ub = (nb + G - 1) // G                                 # units per frame
+    offu = jnp.cumsum(ub) - ub                             # exclusive
+    values_size = (jnp.cumsum(nb)[-1]).astype(jnp.int32)
 
-    num_frames = (n + frame_length - 1) // frame_length
+    # Unit-granular ragged scatter (unique indices, no atomics).
+    units_pad = npad // G + 1
+    u_ix = jnp.arange(8, dtype=jnp.int32)[None, :]
+    tgt = jnp.where(u_ix < ub[:, None], offu[:, None] + u_ix, units_pad)
+    stream = (jnp.zeros((units_pad, G), jnp.int32)
+              .at[tgt].set(units, mode="drop"))
+    values = stream.reshape(-1)[:npad]
+    values = jnp.where(idx < values_size, values, 0).astype(jnp.uint8)
+
+    num_frames = (n + L - 1) // L
     return FLEncoded(bits=bits.astype(jnp.uint8), values=values,
                      num_frames=num_frames, values_size=values_size)
 
@@ -123,31 +178,36 @@ def fl_decode(bits: jax.Array, values: jax.Array, n: jax.Array,
     u8[N_pad] (worst-case buffer, junk beyond the packed size).
     """
     npad = values.shape[0]
+    L = frame_length
+    G = L // 8
     num_frames_pad = bits.shape[0]
-    assert npad == num_frames_pad * frame_length
+    assert npad == num_frames_pad * L
     n = n.astype(jnp.int32)
 
-    counts = _frame_counts(n, num_frames_pad, frame_length)
-    b = jnp.where(counts > 0, bits.astype(jnp.int32), 0)
-    nb = (counts * b + 7) // 8
-    offsets = jnp.cumsum(nb) - nb
+    counts = _frame_counts(n, num_frames_pad, L)
+    b_arr = jnp.where(counts > 0, bits.astype(jnp.int32), 0)
+    nb = (counts * b_arr + 7) // 8
+    ub = (nb + G - 1) // G
+    offu = jnp.cumsum(ub) - ub
 
-    # Per output byte: frame f = o // L, element i = o % L (static pattern);
-    # bit position within the frame stream = i * b, so the two-byte masked
-    # read has closed-form indices — no table needed on device.
-    i_in_frame = jnp.arange(frame_length, dtype=jnp.int32)[None, :]
-    bitpos = i_in_frame * b[:, None]                     # (F, L)
-    byte_idx = offsets[:, None] + (bitpos >> 3)          # (F, L)
-    bit_off = bitpos & 7
+    # Unit-granular ragged gather: frame f's packed bytes as (8, G) units
+    # (junk rows for u >= ub masked to 0).
+    units_pad = npad // G
+    stream = values.reshape(units_pad, G).astype(jnp.int32)
+    u_ix = jnp.arange(8, dtype=jnp.int32)[None, :]
+    src = jnp.clip(offu[:, None] + u_ix, 0, units_pad - 1)
+    units = stream[src]                                    # (F, 8, G)
+    units = jnp.where((u_ix < ub[:, None])[:, :, None], units, 0)
 
-    v32 = values.astype(jnp.int32)
-    flat_byte = jnp.clip(byte_idx.reshape(-1), 0, npad - 1)
-    flat_next = jnp.clip(byte_idx.reshape(-1) + 1, 0, npad - 1)
-    lo = v32[flat_byte].reshape(num_frames_pad, frame_length) >> bit_off
-    hi = v32[flat_next].reshape(num_frames_pad, frame_length) << (8 - bit_off)
-    mask = (1 << b[:, None]) - 1
-    out = ((lo | hi) & mask).reshape(-1)
+    out = jnp.zeros((num_frames_pad, G, 8), jnp.int32)
+    for b in range(1, MAX_WIDTH + 1):
+        # First b units hold the frame's 16·b stream bytes; reshape back to
+        # the (G, b) group-major chunk layout (inverse of the encode side).
+        chunk_b = units[:, :b, :].reshape(num_frames_pad, G, b)
+        el = _unpack_variant(chunk_b, b)                   # (F, G, 8)
+        out = jnp.where((b_arr == b)[:, None, None], el, out)
 
+    out = out.reshape(-1)
     idx = jnp.arange(npad, dtype=jnp.int32)
     return jnp.where(idx < n, out, 0).astype(jnp.uint8)
 
