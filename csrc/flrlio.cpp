@@ -213,41 +213,272 @@ int flrl_fl_decode(const uint8_t* bits, int64_t frames,
 }
 
 // ---------------------------------------------------------------------------
+// Field fold/unfold — the host half of the TPU fast path.
+//
+// The device emits "fields": per frame of L bytes, L/4 u32 values, field q
+// holding the 4·b-bit spread of elements 4q..4q+3 (b = frame bit width).
+// Fold concatenates each frame's fields into the byte-exact reference
+// stream (funnel shifts, 64-bit accumulator); unfold is the inverse.
+// Frames are independent (byte-aligned starts), so both parallelize.
+// ---------------------------------------------------------------------------
+
+// fields: u32[ceil(n/L)*L/4]; bits: u8[ceil(n/L)].  values_out capacity
+// n + L.  Returns values_size.
+int64_t flrl_fl_fold(const uint32_t* fields, const uint8_t* bits, int64_t n,
+                     int frame_len, uint8_t* values_out) {
+  if (n < 0 || frame_len <= 0 || frame_len % 8 != 0) return -1;
+  if (n == 0) return 0;
+  const int64_t frames = (n + frame_len - 1) / frame_len;
+  const int wpf = frame_len / 4;
+
+  int64_t* offs = new int64_t[frames + 1];
+  offs[0] = 0;
+  for (int64_t f = 0; f < frames; ++f) {
+    const int64_t lo = f * frame_len;
+    const int64_t hi = lo + frame_len < n ? lo + frame_len : n;
+    offs[f + 1] =
+        offs[f] + (static_cast<int64_t>(bits[f]) * (hi - lo) + 7) / 8;
+  }
+  const int64_t values_size = offs[frames];
+
+#pragma omp parallel for schedule(static)
+  for (int64_t f = 0; f < frames; ++f) {
+    const int b4 = 4 * bits[f];
+    const uint32_t* in = fields + f * wpf;
+    uint8_t* out = values_out + offs[f];
+    const int64_t nbytes = offs[f + 1] - offs[f];
+    uint64_t acc = 0;
+    int accbits = 0;
+    int64_t w = 0;
+    // Word-granular emission: flush 4 bytes at a time (unaligned store),
+    // trailing partial word flushed bytewise.
+    for (int q = 0; q < wpf; ++q) {
+      acc |= static_cast<uint64_t>(in[q]) << accbits;
+      accbits += b4;
+      if (accbits >= 32) {
+        if (w + 4 <= nbytes) {
+          const uint32_t lo = static_cast<uint32_t>(acc);
+          memcpy(out + w, &lo, 4);
+          w += 4;
+          acc >>= 32;
+          accbits -= 32;
+        } else {
+          break;
+        }
+      }
+    }
+    while (w < nbytes) {
+      out[w++] = static_cast<uint8_t>(acc & 0xFF);
+      acc >>= 8;
+    }
+  }
+  delete[] offs;
+  return values_size;
+}
+
+// Inverse: dense stream -> fields (zero-filled beyond the tail).  Returns 0.
+int flrl_fl_unfold(const uint8_t* values, int64_t values_size,
+                   const uint8_t* bits, int64_t n, int frame_len,
+                   uint32_t* fields_out) {
+  if (n < 0 || frame_len <= 0 || frame_len % 8 != 0) return -1;
+  if (n == 0) return 0;
+  const int64_t frames = (n + frame_len - 1) / frame_len;
+  const int wpf = frame_len / 4;
+
+  int64_t* offs = new int64_t[frames + 1];
+  offs[0] = 0;
+  for (int64_t f = 0; f < frames; ++f) {
+    const int64_t lo = f * frame_len;
+    const int64_t hi = lo + frame_len < n ? lo + frame_len : n;
+    offs[f + 1] =
+        offs[f] + (static_cast<int64_t>(bits[f]) * (hi - lo) + 7) / 8;
+  }
+  if (offs[frames] > values_size) { delete[] offs; return -2; }
+
+#pragma omp parallel for schedule(static)
+  for (int64_t f = 0; f < frames; ++f) {
+    const int b4 = 4 * bits[f];
+    const uint64_t fmask = (b4 >= 64) ? ~0ULL : ((1ULL << b4) - 1);
+    const uint8_t* in = values + offs[f];
+    const int64_t nbytes = offs[f + 1] - offs[f];
+    uint32_t* out = fields_out + f * wpf;
+    uint64_t acc = 0;
+    int accbits = 0;
+    int64_t r = 0;
+    for (int q = 0; q < wpf; ++q) {
+      while (accbits < b4) {
+        if (r + 4 <= nbytes) {          // word-granular refill
+          uint32_t lo;
+          memcpy(&lo, in + r, 4);
+          acc |= static_cast<uint64_t>(lo) << accbits;
+          r += 4;
+          accbits += 32;
+        } else if (r < nbytes) {
+          acc |= static_cast<uint64_t>(in[r++]) << accbits;
+          accbits += 8;
+        } else {
+          break;
+        }
+      }
+      out[q] = static_cast<uint32_t>(acc & fmask);
+      acc >>= b4;
+      accbits = accbits > b4 ? accbits - b4 : 0;
+    }
+  }
+  delete[] offs;
+  return 0;
+}
+
+// ---------------------------------------------------------------------------
 // RL codec (host fallback)
 // ---------------------------------------------------------------------------
 
+namespace {
+
+// Sequential RL emission of the pieces that BEGIN in [lo, hi), given that
+// the natural run containing `lo` starts at `run_start` (<= lo) and that
+// `lo` is itself a piece boundary.  Piece boundaries are natural run
+// starts plus every 255 bytes within a run (the spec's cap,
+// IMPLEMENTATION-PLAN.md:125).  The final piece may extend past `hi` (it
+// belongs to this range because it begins here).  Pass null outputs for a
+// counting dry run.  Returns the number of (count, value) pairs.
+int64_t rl_emit(const uint8_t* data, int64_t n, int64_t lo, int64_t hi,
+                int64_t run_start, uint8_t* counts_out,
+                uint8_t* values_out) {
+  int64_t r = 0;
+  int64_t i = lo;              // invariant: i is a piece boundary
+  int64_t start = run_start;   // natural start of the run containing i
+  while (i < hi) {
+    const uint8_t v = data[i];
+    const int64_t cap_end = i + (255 - ((i - start) % 255));
+    const int64_t lim = n < cap_end ? n : cap_end;
+    int64_t end = i;
+    while (end < lim && data[end] == v) ++end;
+    if (counts_out) {
+      counts_out[r] = static_cast<uint8_t>(end - i);
+      values_out[r] = v;
+    }
+    ++r;
+    if (end == n) break;
+    if (data[end] != v) start = end;   // natural boundary resets the cap
+    i = end;
+  }
+  return r;
+}
+
+// Start of the run containing position p (ignoring the 255 cap: the
+// natural run start — last j <= p with j == 0 or data[j] != data[j-1]).
+int64_t rl_run_start(const uint8_t* data, int64_t p) {
+  const uint8_t v = data[p];
+  int64_t j = p;
+  while (j > 0 && data[j - 1] == v) --j;
+  return j;
+}
+
+}  // namespace
+
 // counts_out/values_out capacity: n.  Returns run count R.
+// Parallel: chunk the input; each chunk emits the pieces that BEGIN in it.
+// A chunk's first piece boundary depends on the start of the run crossing
+// its left edge — found by a (bounded-in-practice) backward scan; the
+// pathological all-one-value input degrades the scan to O(n) for one
+// chunk only, the others exit in O(1).
 int64_t flrl_rl_encode(const uint8_t* data, int64_t n,
                        uint8_t* counts_out, uint8_t* values_out) {
   if (n <= 0) return 0;
-  int64_t r = 0;
-  uint8_t cur = data[0];
-  int64_t len = 1;
-  for (int64_t i = 1; i <= n; ++i) {
-    if (i < n && data[i] == cur && len < 255) {
-      ++len;
-    } else {
-      counts_out[r] = static_cast<uint8_t>(len);
-      values_out[r] = cur;
-      ++r;
-      if (i < n) { cur = data[i]; len = 1; }
-    }
+  const int64_t kChunk = 1 << 22;        // 4 MiB, >= 255
+  const int64_t nchunks = (n + kChunk - 1) / kChunk;
+  if (nchunks == 1) {
+    return rl_emit(data, n, 0, n, 0, counts_out, values_out);
   }
-  return r;
+
+  int64_t* rcount = new int64_t[nchunks];
+  int64_t* cstart = new int64_t[nchunks];  // first piece boundary >= lo
+  int64_t* rstart = new int64_t[nchunks];  // run start governing it
+
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const int64_t lo = c * kChunk;
+    const int64_t hi = lo + kChunk < n ? lo + kChunk : n;
+    // The run crossing the left edge starts at s; the first piece
+    // boundary >= lo is either its next cap boundary (s + k*255) or the
+    // natural start of the next run, whichever comes first.
+    const int64_t s = lo == 0 ? 0 : rl_run_start(data, lo);
+    const int64_t first_cap = s + ((lo - s + 254) / 255) * 255;
+    int64_t first = first_cap;
+    int64_t fstart = s;
+    if (first_cap > lo) {
+      const uint8_t v = data[lo];
+      int64_t t = lo;
+      const int64_t lim = first_cap < hi ? first_cap : hi;
+      while (t < lim && data[t] == v) ++t;
+      if (t < lim || (t == lim && t < first_cap)) {
+        // crossing run ended naturally at t (before its next cap) —
+        // if t == hi no piece begins in this chunk at all
+        first = t;
+        fstart = t;
+      }
+    }
+    if (first >= hi) {
+      rcount[c] = 0;
+      cstart[c] = hi;
+      rstart[c] = fstart;
+      continue;
+    }
+    cstart[c] = first;
+    rstart[c] = fstart;
+    rcount[c] = rl_emit(data, n, first, hi, fstart, nullptr, nullptr);
+  }
+
+  int64_t* roff = new int64_t[nchunks + 1];
+  roff[0] = 0;
+  for (int64_t c = 0; c < nchunks; ++c) roff[c + 1] = roff[c] + rcount[c];
+  const int64_t total = roff[nchunks];
+
+#pragma omp parallel for schedule(dynamic)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    if (rcount[c] == 0) continue;
+    const int64_t lo = cstart[c];
+    const int64_t hi = (c + 1) * kChunk < n ? (c + 1) * kChunk : n;
+    rl_emit(data, n, lo, hi, rstart[c], counts_out + roff[c],
+            values_out + roff[c]);
+  }
+  delete[] rcount;
+  delete[] cstart;
+  delete[] rstart;
+  delete[] roff;
+  return total;
 }
 
 // Returns decoded size, or -1 if it would exceed cap.
 int64_t flrl_rl_decode(const uint8_t* counts, const uint8_t* values,
                        int64_t r, uint8_t* out, int64_t cap) {
-  int64_t n = 0;
-  for (int64_t i = 0; i < r; ++i) n += counts[i];
-  if (n > cap) return -1;
-  // Parallel fill: compute chunked offsets then memset per run.
-  int64_t off = 0;
-  for (int64_t i = 0; i < r; ++i) {
-    memset(out + off, values[i], static_cast<size_t>(counts[i]));
-    off += counts[i];
+  const int64_t kChunk = 1 << 20;        // runs per chunk
+  const int64_t nchunks = (r + kChunk - 1) / kChunk;
+  int64_t* sums = new int64_t[nchunks + 1];
+  sums[0] = 0;
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const int64_t lo = c * kChunk;
+    const int64_t hi = lo + kChunk < r ? lo + kChunk : r;
+    int64_t s = 0;
+    for (int64_t i = lo; i < hi; ++i) s += counts[i];
+    sums[c + 1] = s;
   }
+  for (int64_t c = 0; c < nchunks; ++c) sums[c + 1] += sums[c];
+  const int64_t n = nchunks ? sums[nchunks] : 0;
+  if (n > cap) { delete[] sums; return -1; }
+#pragma omp parallel for schedule(static)
+  for (int64_t c = 0; c < nchunks; ++c) {
+    const int64_t lo = c * kChunk;
+    const int64_t hi = lo + kChunk < r ? lo + kChunk : r;
+    int64_t off = sums[c];
+    for (int64_t i = lo; i < hi; ++i) {
+      memset(out + off, values[i], static_cast<size_t>(counts[i]));
+      off += counts[i];
+    }
+  }
+  delete[] sums;
   return n;
 }
 

@@ -24,6 +24,7 @@ _SO_PATH = os.path.join(_PKG_DIR, "_native", "libflrlio.so")
 _SRC_PATH = os.path.join(os.path.dirname(_PKG_DIR), "csrc", "flrlio.cpp")
 
 _u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
 
 
 class Native:
@@ -52,6 +53,12 @@ class Native:
         lib.flrl_fl_decode.argtypes = [
             _u8p, ctypes.c_int64, _u8p, ctypes.c_int64, ctypes.c_int,
             _u8p, ctypes.c_int64]
+        lib.flrl_fl_fold.restype = ctypes.c_int64
+        lib.flrl_fl_fold.argtypes = [_u32p, _u8p, ctypes.c_int64,
+                                     ctypes.c_int, _u8p]
+        lib.flrl_fl_unfold.restype = ctypes.c_int
+        lib.flrl_fl_unfold.argtypes = [_u8p, ctypes.c_int64, _u8p,
+                                       ctypes.c_int64, ctypes.c_int, _u32p]
         lib.flrl_rl_encode.restype = ctypes.c_int64
         lib.flrl_rl_encode.argtypes = [_u8p, ctypes.c_int64, _u8p, _u8p]
         lib.flrl_rl_decode.restype = ctypes.c_int64
@@ -116,6 +123,34 @@ class Native:
         if rc != 0:
             raise ValueError(f"fl_decode: corrupt stream (rc={rc})")
         return out
+
+    def fl_fold(self, fields: np.ndarray, bits: np.ndarray, n: int,
+                frame_length: int = 128) -> np.ndarray:
+        """Fields (u32) + bits → byte-exact packed stream."""
+        fields = np.ascontiguousarray(fields, np.uint32)
+        bits = np.ascontiguousarray(bits, np.uint8)
+        if n == 0:
+            return np.zeros(0, np.uint8)
+        values = np.empty(n + frame_length, np.uint8)
+        vsz = self._lib.flrl_fl_fold(fields, bits, n, frame_length, values)
+        if vsz < 0:
+            raise ValueError("fl_fold: bad arguments")
+        return values[:vsz].copy()
+
+    def fl_unfold(self, values: np.ndarray, bits: np.ndarray, n: int,
+                  frame_length: int = 128) -> np.ndarray:
+        """Packed stream + bits → fields (u32), zero-padded tail."""
+        values = np.ascontiguousarray(values, np.uint8)
+        bits = np.ascontiguousarray(bits, np.uint8)
+        if n == 0:
+            return np.zeros(0, np.uint32)
+        frames = -(-n // frame_length)
+        fields = np.empty(frames * (frame_length // 4), np.uint32)
+        rc = self._lib.flrl_fl_unfold(values, values.size, bits, n,
+                                      frame_length, fields)
+        if rc != 0:
+            raise ValueError(f"fl_unfold: corrupt stream (rc={rc})")
+        return fields
 
     def rl_encode(self, data: np.ndarray):
         data = np.ascontiguousarray(data, np.uint8)

@@ -1,71 +1,50 @@
-"""TPU-native FL (fixed-length) codec in JAX.
+"""TPU-native FL (fixed-length) codec — device kernels.
 
-This is the device formulation of the codec whose semantics are specified by
-the golden NumPy implementation (`fl_numpy.py`) and, transitively, by the
-reference CPU codec (``/root/reference/src/fl/fl_cpu.cu``).  Nothing here is a
-translation of the reference CUDA kernels (``fl_gpu.cu:648-755``): the
-thread-per-byte + sub-word-atomic style is anti-idiomatic on TPU, so the
-algorithm is re-expressed as fixed-shape, branch-free vector ops that XLA
-tiles onto the VPU:
+Semantics are specified by the golden NumPy implementation (`fl_numpy.py`)
+and, transitively, by the reference CPU codec
+(``/root/reference/src/fl/fl_cpu.cu``).  Nothing here translates the
+reference CUDA kernels (``fl_gpu.cu:648-755``): the thread-per-byte +
+sub-word-atomic style is anti-idiomatic on TPU.
 
-* per-frame bit-widths: reshape ``(F, L)`` + ``max`` over the lane axis — the
-  segmented max replaces the reference's shared-memory ``atomicMaxUint8t``
-  tree (``fl_gpu.cu:648-685``);
-* packing: key invariant — 8 consecutive elements at width ``b`` pack to
-  exactly ``b`` bytes, so a frame is ``L/8`` *groups* of 8 elements, each
-  producing ``b`` contiguous output bytes.  For each of the 8 possible
-  widths the group pack is a **purely elementwise** shift/mask/add over
-  strided reshapes (every packed byte is a sum of disjoint-bit
-  contributions, so OR == ADD and no two writers share a byte — the
-  reference's ``atomicOrUint8t`` disappears by construction).  All 8
-  variants are computed branch-free and selected per frame;
-* placement: a full frame packs to ``b`` *units* of ``L/8`` bytes, so the
-  dense stream is a unit-granular ragged scatter — ``cumsum`` of per-frame
-  unit counts (the reference uses ``thrust::exclusive_scan``,
-  ``fl_gpu.cu:805-808``) + one row-scatter of ``L/8``-byte units, moving
-  16 bytes per index instead of 1;
-* decode: the exact inverse — unit-granular row gather, then the
-  elementwise per-variant unpack (the vectorized form of
-  ``decompressCalculateOutput``, ``fl_gpu.cu:728-755``).
+Design, driven by measurement (experiments/exp3, exp4 on the real chip):
 
-Shapes are static (XLA compiles once per padded-size bucket); the true input
-length ``n`` is a traced scalar so arbitrary file sizes reuse one executable.
-All index math is int32 on device: a single shard is capped at 2 GiB, which
-also side-steps the reference's ``int`` overflow defect (``file_io.cu:46-51``)
-rather than replicating it — multi-chip sharding keeps per-shard sizes small.
+* XLA lowers every fine-grained gather/scatter to the TPU scalar core
+  (~35-130M indices/s — orders of magnitude below the VPU), and any array
+  whose minor dimension is < 128 is tile-padded up to 16×.  Only
+  elementwise ops, reshapes, reductions and cumsums run at HBM bandwidth.
+* The codec therefore keeps all *bit manipulation* on device in a purely
+  elementwise form — the **field form** — and leaves the ragged
+  *placement* (data-dependent byte offsets) to the host's native fold
+  (``csrc/flrlio.cpp``), which overlaps with the file I/O it feeds.
+
+Field form: the input is viewed as little-endian u32 words (4 elements per
+word).  For a frame of ``L`` bytes at width ``b``, word ``q`` becomes field
+``q`` — the 4·b-bit *spread* ``e0 | e1<<b | e2<<2b | e3<<3b`` (exact in
+u32: 3b+8 ≤ 32).  A frame's packed payload is exactly its fields'
+low 4·b-bit windows concatenated — so fold/unfold is a funnel-shift
+concatenation, memcpy-class work.
+
+The per-frame width is the reference's ``max(1, 8 - clz(max byte))``
+(``fl_cpu.cu:39-47``), computed via an OR-reduce (bitlen(OR) == bitlen(max)
+for unsigned bytes) — the segmented-max replacement for the reference's
+shared-memory ``atomicMaxUint8t`` tree (``fl_gpu.cu:648-685``).
+
+Shapes are static (XLA compiles once per padded-size bucket); the true
+length ``n`` is a traced scalar so arbitrary sizes reuse one executable.
+Index math is int32: a single shard is capped at 2 GiB, side-stepping the
+reference's ``int`` overflow defect (``file_io.cu:46-51``) by design —
+multi-chip sharding keeps shards small.
 """
 
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from .bitpack import FRAME_LENGTH, MAX_WIDTH
-
-
-class FLEncoded(NamedTuple):
-    """Device-side encode result with worst-case static shapes.
-
-    ``bits``/``values`` carry valid data only in their first ``num_frames`` /
-    ``values_size`` entries; callers slice after device→host transfer (the
-    reference computes the true size first and allocates exactly,
-    ``fl_gpu.cu:353-361`` — under XLA we allocate worst case and slice late).
-    """
-    bits: jax.Array         # u8[F_pad]
-    values: jax.Array       # u8[N_pad]
-    num_frames: jax.Array   # i32 scalar — ceil(n / L)
-    values_size: jax.Array  # i32 scalar — exact packed byte count
-
-
-def _frame_counts(n: jax.Array, num_frames_pad: int, frame_length: int):
-    """Per-frame valid element counts for dynamic length ``n`` (0 for frames
-    entirely beyond the input)."""
-    f = jnp.arange(num_frames_pad, dtype=jnp.int32)
-    return jnp.clip(n - f * frame_length, 0, frame_length)
 
 
 def _required_bits(frame_max: jax.Array) -> jax.Array:
@@ -77,143 +56,92 @@ def _required_bits(frame_max: jax.Array) -> jax.Array:
     return jnp.maximum(acc, 1)
 
 
-def _pack_variant(groups: jax.Array, b: int) -> jax.Array:
-    """Pack ``(F, G, 8)`` int32 element groups at fixed width ``b`` into
-    ``(F, G, b)`` bytes — elementwise only (shifts + adds of disjoint bits).
+def _word_tail_mask(nw: int, n: jax.Array) -> jax.Array:
+    """u32 mask zeroing bytes at global index ≥ n (word-granular).
 
-    Element ``t`` of a group occupies bits ``[t*b, (t+1)*b)`` of the group's
-    ``8b``-bit chunk; its contribution to chunk byte ``r`` is the shifted
-    window overlapping ``[8r, 8r+8)`` — the same LSB-first layout as the
-    reference pack loop (``fl_cpu.cu:62-84``) without its running offset.
+    Select over the 5 possible masks instead of a variable-amount shift:
+    vector-variable shifts are an order of magnitude slower than constant
+    ones on the VPU (experiments/FINDINGS.md).
     """
-    F, G, _ = groups.shape
-    out = [None] * b
-    for t in range(8):
-        lo_bit = t * b
-        r1, s1 = lo_bit // 8, lo_bit % 8
-        e = groups[:, :, t]
-        contrib = (e << s1) & 0xFF
-        out[r1] = contrib if out[r1] is None else out[r1] + contrib
-        r2 = (lo_bit + b - 1) // 8
-        if r2 != r1 and r2 < b:
-            spill = e >> (8 - s1)
-            out[r2] = spill if out[r2] is None else out[r2] + spill
-    return jnp.stack(out, axis=2)
+    widx = jnp.arange(nw, dtype=jnp.int32)
+    rem = jnp.clip(n - widx * 4, 0, 4)
+    m = jnp.uint32(0)
+    for k, mk in ((1, 0xFF), (2, 0xFFFF), (3, 0xFFFFFF), (4, 0xFFFFFFFF)):
+        m = jnp.where(rem == k, jnp.uint32(mk), m)
+    return m
 
 
-def _unpack_variant(packed: jax.Array, b: int) -> jax.Array:
-    """Inverse of :func:`_pack_variant`: ``(F, G, b)`` bytes → ``(F, G, 8)``
-    int32 elements (two-byte masked read with static indices per width —
-    the branchless form of ``fl_cpu.cu:126-136``)."""
-    mask = (1 << b) - 1
-    elems = []
-    for t in range(8):
-        lo_bit = t * b
-        r1, s1 = lo_bit // 8, lo_bit % 8
-        v = packed[:, :, r1] >> s1
-        r2 = (lo_bit + b - 1) // 8
-        if r2 != r1 and r2 < b:
-            v = v | (packed[:, :, r2] << (8 - s1))
-        elems.append(v & mask)
-    return jnp.stack(elems, axis=2)
+def _broadcast_frames(x: jax.Array, wpf: int) -> jax.Array:
+    """Per-frame value → per-word value, flat (broadcast + reshape — NOT
+    jnp.repeat, which lowers to a scalar-core gather)."""
+    F = x.shape[0]
+    return jnp.broadcast_to(x[:, None], (F, wpf)).reshape(F * wpf)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_length",))
-def fl_encode(data: jax.Array, n: jax.Array,
-              frame_length: int = FRAME_LENGTH) -> FLEncoded:
-    """Encode ``data[:n]``; ``data`` is u8 with static size divisible by
-    ``frame_length``.  Bytes at index ≥ n may hold arbitrary junk."""
-    npad = data.shape[0]
+def fl_encode_fields(words: jax.Array, n: jax.Array,
+                     frame_length: int = FRAME_LENGTH):
+    """Encode to field form.
+
+    ``words``: u32[NW] little-endian view of the input bytes (NW·4 a frame
+    multiple; bytes ≥ n may be junk).  Returns ``(bits u8[F], fields
+    u32[NW])`` — fields of frames beyond ``ceil(n/L)`` are zero.
+    """
     L = frame_length
-    assert npad % L == 0, "pad input to a frame multiple"
     assert L % 8 == 0
-    G = L // 8                 # groups per frame == unit size in bytes
-    num_frames_pad = npad // L
+    wpf = L // 4                     # words per frame
+    nw = words.shape[0]
+    assert nw % wpf == 0
+    F = nw // wpf
     n = n.astype(jnp.int32)
+    w = words.astype(jnp.uint32) & _word_tail_mask(nw, n)
 
-    idx = jnp.arange(npad, dtype=jnp.int32)
-    data = jnp.where(idx < n, data, 0).astype(jnp.uint8)
-    frames = data.reshape(num_frames_pad, L).astype(jnp.int32)
+    # Per-frame width via OR-reduce (bitlen(OR bytes) == bitlen(max byte)).
+    o = w | (w >> 8)
+    o = (o | (o >> 16)) & jnp.uint32(0xFF)
+    frame_or = o.reshape(F, wpf).max(axis=1).astype(jnp.int32)
+    bits = _required_bits(frame_or)
 
-    counts = _frame_counts(n, num_frames_pad, L)
-    bits = _required_bits(frames.max(axis=1))
-
-    # Branch-free 8-variant elementwise pack.  A frame's stream is its
-    # groups' chunks back to back (group-major): (G, b) bytes == b units of
-    # G contiguous stream bytes, so the per-variant reshape (F, G, b) →
-    # (F, b, G) is pure data movement — no transpose, no gather.
-    groups = frames.reshape(num_frames_pad, G, 8)
-    units = jnp.zeros((num_frames_pad, 8, G), jnp.int32)
-    for b in range(1, MAX_WIDTH + 1):
-        pk = _pack_variant(groups, b)                      # (F, G, b)
-        pku = pk.reshape(num_frames_pad, b, G)             # b units of G
-        pku = jnp.pad(pku, ((0, 0), (0, 8 - b), (0, 0)))
-        units = jnp.where((bits == b)[:, None, None], pku, units)
-
-    nb = (counts * bits + 7) // 8                          # bytes per frame
-    ub = (nb + G - 1) // G                                 # units per frame
-    offu = jnp.cumsum(ub) - ub                             # exclusive
-    values_size = (jnp.cumsum(nb)[-1]).astype(jnp.int32)
-
-    # Unit-granular ragged scatter (unique indices, no atomics).
-    units_pad = npad // G + 1
-    u_ix = jnp.arange(8, dtype=jnp.int32)[None, :]
-    tgt = jnp.where(u_ix < ub[:, None], offu[:, None] + u_ix, units_pad)
-    stream = (jnp.zeros((units_pad, G), jnp.int32)
-              .at[tgt].set(units, mode="drop"))
-    values = stream.reshape(-1)[:npad]
-    values = jnp.where(idx < values_size, values, 0).astype(jnp.uint8)
-
-    num_frames = (n + L - 1) // L
-    return FLEncoded(bits=bits.astype(jnp.uint8), values=values,
-                     num_frames=num_frames, values_size=values_size)
+    # Spread with constant shifts per width variant + select (variable
+    # vector shifts are slow on the VPU; constant-shift chains are free —
+    # experiments/FINDINGS.md).  b == 8 is the identity spread.
+    bw = _broadcast_frames(bits, wpf)
+    e1 = (w >> 8) & jnp.uint32(0xFF)
+    e2 = (w >> 16) & jnp.uint32(0xFF)
+    e3 = w >> 24
+    e0 = w & jnp.uint32(0xFF)
+    fields = w
+    for b in range(1, MAX_WIDTH):
+        sp = e0 | (e1 << b) | (e2 << (2 * b)) | (e3 << (3 * b))
+        fields = jnp.where(bw == b, sp, fields)
+    return bits.astype(jnp.uint8), fields
 
 
 @functools.partial(jax.jit, static_argnames=("frame_length",))
-def fl_decode(bits: jax.Array, values: jax.Array, n: jax.Array,
-              frame_length: int = FRAME_LENGTH) -> jax.Array:
-    """Decode to ``n`` bytes (u8[N_pad], valid prefix ``n``).
-
-    ``bits`` is u8[F_pad] (junk beyond the true frame count), ``values`` is
-    u8[N_pad] (worst-case buffer, junk beyond the packed size).
-    """
-    npad = values.shape[0]
+def fl_decode_fields(fields: jax.Array, bits: jax.Array, n: jax.Array,
+                     frame_length: int = FRAME_LENGTH) -> jax.Array:
+    """Inverse of :func:`fl_encode_fields`: fields u32[NW] + bits u8[F] →
+    decoded words u32[NW] (bytes ≥ n zeroed)."""
     L = frame_length
-    G = L // 8
-    num_frames_pad = bits.shape[0]
-    assert npad == num_frames_pad * L
+    wpf = L // 4
+    nw = fields.shape[0]
+    assert bits.shape[0] * wpf == nw
     n = n.astype(jnp.int32)
+    f = fields.astype(jnp.uint32)
 
-    counts = _frame_counts(n, num_frames_pad, L)
-    b_arr = jnp.where(counts > 0, bits.astype(jnp.int32), 0)
-    nb = (counts * b_arr + 7) // 8
-    ub = (nb + G - 1) // G
-    offu = jnp.cumsum(ub) - ub
-
-    # Unit-granular ragged gather: frame f's packed bytes as (8, G) units
-    # (junk rows for u >= ub masked to 0).
-    units_pad = npad // G
-    stream = values.reshape(units_pad, G).astype(jnp.int32)
-    u_ix = jnp.arange(8, dtype=jnp.int32)[None, :]
-    src = jnp.clip(offu[:, None] + u_ix, 0, units_pad - 1)
-    units = stream[src]                                    # (F, 8, G)
-    units = jnp.where((u_ix < ub[:, None])[:, :, None], units, 0)
-
-    out = jnp.zeros((num_frames_pad, G, 8), jnp.int32)
-    for b in range(1, MAX_WIDTH + 1):
-        # First b units hold the frame's 16·b stream bytes; reshape back to
-        # the (G, b) group-major chunk layout (inverse of the encode side).
-        chunk_b = units[:, :b, :].reshape(num_frames_pad, G, b)
-        el = _unpack_variant(chunk_b, b)                   # (F, G, 8)
-        out = jnp.where((b_arr == b)[:, None, None], el, out)
-
-    out = out.reshape(-1)
-    idx = jnp.arange(npad, dtype=jnp.int32)
-    return jnp.where(idx < n, out, 0).astype(jnp.uint8)
+    bw = _broadcast_frames(bits.astype(jnp.int32), wpf)
+    w = f
+    for b in range(1, MAX_WIDTH):
+        mask = jnp.uint32((1 << b) - 1)
+        un = ((f & mask) | (((f >> b) & mask) << 8)
+              | (((f >> (2 * b)) & mask) << 16)
+              | (((f >> (3 * b)) & mask) << 24))
+        w = jnp.where(bw == b, un, w)
+    return w & _word_tail_mask(nw, n)
 
 
 # ---------------------------------------------------------------------------
-# Host-facing convenience wrappers (pad → device → slice).
+# Host-facing whole-array APIs (pad → device kernel → host fold/unfold).
 # ---------------------------------------------------------------------------
 
 def pad_to_frames(n: int, frame_length: int = FRAME_LENGTH,
@@ -225,10 +153,19 @@ def pad_to_frames(n: int, frame_length: int = FRAME_LENGTH,
     return frames * frame_length
 
 
+def _use_pallas(frame_length: int, nw: int) -> bool:
+    from . import fl_pallas
+    return (jax.default_backend() == "tpu"
+            and fl_pallas._supported(frame_length)
+            and nw % fl_pallas.TILE_WORDS == 0)
+
+
 def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192):
-    """NumPy in → (bits u8[F], values u8[V]) out, exact sizes (host API that
-    mirrors `fl_numpy.encode`)."""
+    """NumPy in → (bits u8[F], values u8[V]) out, exact sizes, bit-exact
+    with `fl_numpy.encode` (device fields kernel + host fold)."""
+    from .fields import fold
+
     data = np.asarray(data, np.uint8)
     n = data.size
     if n == 0:
@@ -236,27 +173,47 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     npad = pad_to_frames(n, frame_length, bucket_frames)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
-    enc = fl_encode(jnp.asarray(buf), jnp.int32(n), frame_length=frame_length)
-    enc = jax.device_get(enc)
-    return (np.asarray(enc.bits[: int(enc.num_frames)]),
-            np.asarray(enc.values[: int(enc.values_size)]))
+    if _use_pallas(frame_length, npad // 4):
+        from . import fl_pallas
+        enc_fn = functools.partial(fl_pallas.fl_encode_fields_pallas,
+                                   frame_length=frame_length)
+    else:
+        enc_fn = functools.partial(fl_encode_fields,
+                                   frame_length=frame_length)
+    bits_d, fields_d = enc_fn(jnp.asarray(buf.view(np.uint32)),
+                              jnp.int32(n))
+    frames = -(-n // frame_length)
+    wpf = frame_length // 4
+    bits = np.asarray(jax.device_get(bits_d))[:frames]
+    fields_h = np.asarray(jax.device_get(fields_d))[: frames * wpf]
+    return bits, fold(fields_h, bits, n, frame_length)
 
 
 def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
            frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192) -> np.ndarray:
-    """NumPy in → decoded u8[output_size] (host API mirroring
-    `fl_numpy.decode`)."""
+    """NumPy in → decoded u8[output_size] (host unfold + device kernel)."""
+    from .fields import unfold
+
     bits = np.asarray(bits, np.uint8)
     values = np.asarray(values, np.uint8)
-    if bits.size == 0 or values.size == 0:
+    n = int(output_size)
+    if n == 0 or bits.size == 0:
         return np.zeros(0, np.uint8)
-    npad = pad_to_frames(output_size, frame_length, bucket_frames)
+    fields_h = unfold(values, bits, n, frame_length)
+    npad = pad_to_frames(n, frame_length, bucket_frames)
     fpad = npad // frame_length
+    wpf = frame_length // 4
+    fbuf = np.zeros(fpad * wpf, np.uint32)
+    fbuf[: fields_h.size] = fields_h
     bbuf = np.zeros(fpad, np.uint8)
     bbuf[: bits.size] = bits
-    vbuf = np.zeros(npad, np.uint8)
-    vbuf[: values.size] = values
-    out = fl_decode(jnp.asarray(bbuf), jnp.asarray(vbuf),
-                    jnp.int32(output_size), frame_length=frame_length)
-    return np.asarray(jax.device_get(out))[:output_size]
+    if _use_pallas(frame_length, npad // 4):
+        from . import fl_pallas
+        dec_fn = functools.partial(fl_pallas.fl_decode_fields_pallas,
+                                   frame_length=frame_length)
+    else:
+        dec_fn = functools.partial(fl_decode_fields,
+                                   frame_length=frame_length)
+    out = dec_fn(jnp.asarray(fbuf), jnp.asarray(bbuf), jnp.int32(n))
+    return np.asarray(jax.device_get(out)).view(np.uint8)[:n]

@@ -12,17 +12,20 @@ gathers to rank 0 (MPI point-to-point, ``/root/reference/src/fl/fl_gpu.cu:
   ``chunk = (S // (L·N)) · L``, last shard takes the remainder
   (``file_io.cu:46-51`` — reproduced in 64-bit math, not the reference's
   overflowing ``int``);
-* ``jax.shard_map`` runs the single-chip codec per shard;
-* the merge is either **host-side** (pull each shard's valid slice and
-  concatenate in rank order — the MPI-gather analog; lossless because shard
+* ``jax.shard_map`` runs the single-chip *field kernels* per shard (see
+  `ops/fl_jax.py` for why fields: all bit manipulation on device,
+  elementwise at memory bandwidth; ragged placement on host);
+* the merge is either **host-side** (pull each shard's fields + widths and
+  fold in rank order — the MPI-gather analog; lossless because shard
   boundaries are frame multiples, SURVEY.md finding #3) or **on-device**
-  via ``jax.lax.all_gather`` over ICI + the shared scan-based ragged
-  compaction (the NCCL-AllGather analog, with XLA inserting the collective).
+  via ``jax.lax.all_gather`` of the fixed-shape field payloads over ICI —
+  the exact analog of the reference's max-padded NCCL AllGather
+  (``fl_gpu.cu:144-194``), with XLA inserting the collective — after which
+  host 0 folds the replicated result.
 
-Per-shard sizes are exchanged implicitly: the all-gather carries the scalar
-true sizes alongside the padded payloads, exactly the reference's
-``MPI_Allgather`` of {bitsSize, valuesSize, inputSize} (``fl_gpu.cu:101-106``)
-— except here it rides ICI inside the compiled program instead of DCN.
+Per-shard sizes travel implicitly: widths (`bits`) determine every offset,
+so the reference's ``MPI_Allgather`` of {bitsSize, valuesSize, inputSize}
+(``fl_gpu.cu:101-106``) reduces to gathering the small `bits` arrays.
 """
 
 from __future__ import annotations
@@ -37,7 +40,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from ..container import FLCompressed, RLCompressed
 from ..ops import fl_jax, rl_jax
 from ..ops.bitpack import FRAME_LENGTH
-from ..ops.ragged import ragged_concat_rows
+from ..ops.fields import fold, unfold
 
 AXIS = "dp"
 
@@ -51,7 +54,7 @@ def make_mesh(num_devices: int | None = None) -> Mesh:
 
 
 class ShardPlan(NamedTuple):
-    """Host-side split of an ``total``-byte input into frame-aligned shards
+    """Host-side split of a ``total``-byte input into frame-aligned shards
     (the reference's ``loadFileMpi`` split, ``file_io.cu:46-51``)."""
     num_shards: int
     shard_npad: int          # static per-shard buffer (frame multiple)
@@ -83,79 +86,78 @@ def shard_host_data(data: np.ndarray, plan: ShardPlan) -> np.ndarray:
     return out
 
 
+def _frames_of(plan: ShardPlan, i: int, frame_length: int) -> int:
+    return (int(plan.ns[i]) + frame_length - 1) // frame_length
+
+
 # ---------------------------------------------------------------------------
-# FL
+# FL — sharded field kernels
 # ---------------------------------------------------------------------------
 
 def _fl_local_encode(frame_length):
-    def f(block, n):
-        enc = fl_jax.fl_encode(block[0], n[0], frame_length=frame_length)
-        return (enc.bits[None], enc.values[None], enc.num_frames[None],
-                enc.values_size[None])
+    def f(words, n):
+        bits, fields = fl_jax.fl_encode_fields(
+            words[0], n[0], frame_length=frame_length)
+        return bits[None], fields[None]
     return f
 
 
-def fl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array,
+def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
                         frame_length: int = FRAME_LENGTH):
-    """Per-shard encode; outputs stay sharded over ``dp`` (MPI-gather analog:
-    the host later pulls valid slices in rank order)."""
+    """Per-shard field encode; outputs stay sharded over ``dp`` (the host
+    later pulls shard slices in rank order — MPI-gather analog).
+
+    ``words2d``: u32[N_shards, shard_npad/4].  Returns ``(bits u8[N, Fp],
+    fields u32[N, Wp])``.
+    """
     f = jax.shard_map(
         _fl_local_encode(frame_length), mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)))
-    return jax.jit(f)(data2d, ns)
+        out_specs=(P(AXIS, None), P(AXIS, None)))
+    return jax.jit(f)(words2d, ns)
 
 
 def _fl_merged_encode(frame_length):
-    def f(block, n):
-        enc = fl_jax.fl_encode(block[0], n[0], frame_length=frame_length)
-        # ICI all-gather of payloads + sizes (the NCCL-AllGather analog:
-        # padded payload exchange, fl_gpu.cu:144-194), then the scan-based
-        # compaction replacing the reference's per-rank D2D memcpy loop
-        # (fl_gpu.cu:217-241).
-        bits_g = jax.lax.all_gather(enc.bits, AXIS)          # (N, Fp)
-        nf_g = jax.lax.all_gather(enc.num_frames, AXIS)      # (N,)
-        vals_g = jax.lax.all_gather(enc.values, AXIS)        # (N, npad)
-        vsz_g = jax.lax.all_gather(enc.values_size, AXIS)    # (N,)
-        bits_m, nf_tot = ragged_concat_rows(bits_g, nf_g)
-        vals_m, vsz_tot = ragged_concat_rows(vals_g, vsz_g)
-        return bits_m, vals_m, nf_tot, vsz_tot
+    def f(words, n):
+        bits, fields = fl_jax.fl_encode_fields(
+            words[0], n[0], frame_length=frame_length)
+        # ICI all-gather of the fixed-shape payloads — the analog of the
+        # reference's max-padded ncclAllGather (fl_gpu.cu:144-194); every
+        # chip redundantly holds the gathered result, as there.
+        bits_g = jax.lax.all_gather(bits, AXIS)      # (N, Fp)
+        fields_g = jax.lax.all_gather(fields, AXIS)  # (N, Wp)
+        return bits_g, fields_g
     return f
 
 
-def fl_compress_merged(mesh: Mesh, data2d: jax.Array, ns: jax.Array,
+def fl_compress_merged(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
                        frame_length: int = FRAME_LENGTH):
-    """Encode + on-device rank-ordered merge; outputs replicated on every
-    chip (like the reference NCCL path, where every rank redundantly holds
-    the gathered result, ``fl_gpu.cu:179-241``)."""
-    # all_gather outputs are value-identical on every chip but JAX's static
-    # replication (vma) analysis cannot infer that, so the check is off.
+    """Encode + on-device all-gather; replicated outputs on every chip."""
     f = jax.shard_map(
         _fl_merged_encode(frame_length), mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(), P(), P(), P()), check_vma=False)
-    return jax.jit(f)(data2d, ns)
+        out_specs=(P(), P()), check_vma=False)
+    return jax.jit(f)(words2d, ns)
 
 
 def _fl_local_decode(frame_length):
-    def f(bits, values, n):
-        out = fl_jax.fl_decode(bits[0], values[0], n[0],
-                               frame_length=frame_length)
+    def f(fields, bits, n):
+        out = fl_jax.fl_decode_fields(fields[0], bits[0], n[0],
+                                      frame_length=frame_length)
         return out[None]
     return f
 
 
-def fl_decompress_sharded(mesh: Mesh, bits2d: jax.Array, values2d: jax.Array,
+def fl_decompress_sharded(mesh: Mesh, fields2d: jax.Array, bits2d: jax.Array,
                           ns: jax.Array, frame_length: int = FRAME_LENGTH):
-    """Distributed decode — each shard decodes its own frame range.  The
-    reference has no distributed decompression at all (``main.cu:131-169``
-    falls back to single-process CPU); frame alignment makes it natural here.
-    """
+    """Distributed field decode — each shard decodes its own frame range.
+    The reference has no distributed decompression at all
+    (``main.cu:131-169`` falls back to single-process CPU)."""
     f = jax.shard_map(
         _fl_local_decode(frame_length), mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
         out_specs=P(AXIS, None))
-    return jax.jit(f)(bits2d, values2d, ns)
+    return jax.jit(f)(fields2d, bits2d, ns)
 
 
 # ---------------------------------------------------------------------------
@@ -180,6 +182,22 @@ def rl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array):
     return jax.jit(f)(data2d, ns)
 
 
+def _rl_local_decode(out_pad):
+    def f(counts, values, nr, n):
+        return rl_jax.rl_decode(counts[0], values[0], nr[0], n[0],
+                                out_pad)[None]
+    return f
+
+
+def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
+                          out_pad: int):
+    f = jax.shard_map(
+        _rl_local_decode(out_pad), mesh=mesh,
+        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
+        out_specs=P(AXIS, None))
+    return jax.jit(f)(counts2d, values2d, nrs, ns)
+
+
 # ---------------------------------------------------------------------------
 # Host-facing whole-file API (single host, N local chips).
 # ---------------------------------------------------------------------------
@@ -193,35 +211,52 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
-    data2d = shard_host_data(data, plan)
-    bits, values, nf, vsz = jax.device_get(fl_compress_sharded(
-        mesh, jnp.asarray(data2d), jnp.asarray(plan.ns, jnp.int32),
+    words2d = shard_host_data(data, plan).view(np.uint32)
+    bits, fields = jax.device_get(fl_compress_sharded(
+        mesh, jnp.asarray(words2d), jnp.asarray(plan.ns, jnp.int32),
         frame_length))
-    # Rank-ordered host merge (MergeFLCompressed analog, fl_common.cuh:95).
+    # Rank-ordered merge: shard boundaries are frame-aligned, so the global
+    # bits/fields arrays are plain concatenations of per-shard prefixes
+    # (MergeFLCompressed analog, fl_common.cuh:95); one host fold then
+    # yields the byte-exact container payload.
+    wpf = frame_length // 4
+    nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
+    bits_all = np.concatenate(
+        [bits[i, : nfs[i]] for i in range(n_dev)])
+    fields_all = np.concatenate(
+        [fields[i, : nfs[i] * wpf] for i in range(n_dev)])
     return FLCompressed(
-        bits=np.concatenate([bits[i, : nf[i]] for i in range(n_dev)]),
-        values=np.concatenate([values[i, : vsz[i]] for i in range(n_dev)]),
+        bits=bits_all,
+        values=fold(fields_all, bits_all, data.size, frame_length),
         input_size=data.size)
 
 
 def compress_fl_ici(data: np.ndarray, mesh: Mesh | None = None,
                     frame_length: int = FRAME_LENGTH,
                     bucket_frames: int = 8192) -> FLCompressed:
-    """Like :func:`compress_fl` but merging on device over ICI (all-gather +
-    scan compaction — the reference NCCL path's analog); the host then pulls
-    one dense replicated result instead of N shard slices."""
+    """Like :func:`compress_fl` but the payload gather happens on device
+    over ICI (all-gather, replicated result — the NCCL-path analog); the
+    host pulls one replicated array instead of N shard slices."""
     data = np.asarray(data, np.uint8)
     if data.size == 0:
         return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
-    data2d = shard_host_data(data, plan)
-    bits_m, vals_m, nf, vsz = jax.device_get(fl_compress_merged(
-        mesh, jnp.asarray(data2d), jnp.asarray(plan.ns, jnp.int32),
+    words2d = shard_host_data(data, plan).view(np.uint32)
+    bits_g, fields_g = jax.device_get(fl_compress_merged(
+        mesh, jnp.asarray(words2d), jnp.asarray(plan.ns, jnp.int32),
         frame_length))
-    return FLCompressed(bits=bits_m[: int(nf)], values=vals_m[: int(vsz)],
-                        input_size=data.size)
+    wpf = frame_length // 4
+    nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
+    bits_all = np.concatenate(
+        [np.asarray(bits_g)[i, : nfs[i]] for i in range(n_dev)])
+    fields_all = np.concatenate(
+        [np.asarray(fields_g)[i, : nfs[i] * wpf] for i in range(n_dev)])
+    return FLCompressed(
+        bits=bits_all,
+        values=fold(fields_all, bits_all, data.size, frame_length),
+        input_size=data.size)
 
 
 def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
@@ -233,28 +268,24 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
     plan = plan_shards(n, n_dev, frame_length, bucket_frames)
-    # Host-side frame bookkeeping: per-shard bits slices and packed-byte
-    # ranges (cheap: one pass over F frame widths).
-    fstart = 0
+    wpf = frame_length // 4
+    # Host unfold (cheap memcpy-class pass), then sharded device decode.
+    fields_all = unfold(comp.values, comp.bits, n, frame_length)
+    fields2d = np.zeros((n_dev, plan.frames_pad * wpf), np.uint32)
     bits2d = np.zeros((n_dev, plan.frames_pad), np.uint8)
-    values2d = np.zeros((n_dev, plan.shard_npad), np.uint8)
-    voff = 0
+    fstart = 0
     for i in range(n_dev):
-        nf_i = (int(plan.ns[i]) + frame_length - 1) // frame_length
-        b = comp.bits[fstart:fstart + nf_i].astype(np.int64)
-        cnt = np.minimum(
-            int(plan.ns[i]) - np.arange(nf_i, dtype=np.int64) * frame_length,
-            frame_length)
-        vbytes = int(((b * cnt + 7) // 8).sum())
+        nf_i = _frames_of(plan, i, frame_length)
         bits2d[i, :nf_i] = comp.bits[fstart:fstart + nf_i]
-        values2d[i, :vbytes] = comp.values[voff:voff + vbytes]
+        fields2d[i, : nf_i * wpf] = fields_all[
+            fstart * wpf: (fstart + nf_i) * wpf]
         fstart += nf_i
-        voff += vbytes
     out = jax.device_get(fl_decompress_sharded(
-        mesh, jnp.asarray(bits2d), jnp.asarray(values2d),
+        mesh, jnp.asarray(fields2d), jnp.asarray(bits2d),
         jnp.asarray(plan.ns, jnp.int32), frame_length))
+    out_bytes = np.asarray(out).view(np.uint8).reshape(n_dev, -1)
     return np.concatenate(
-        [out[i, : plan.ns[i]] for i in range(n_dev)])
+        [out_bytes[i, : plan.ns[i]] for i in range(n_dev)])
 
 
 def compress_rl(data: np.ndarray, mesh: Mesh | None = None,
@@ -272,22 +303,6 @@ def compress_rl(data: np.ndarray, mesh: Mesh | None = None,
         counts=np.concatenate([counts[i, : nr[i]] for i in range(n_dev)]),
         values=np.concatenate([values[i, : nr[i]] for i in range(n_dev)]),
         input_size=data.size)
-
-
-def _rl_local_decode(out_pad):
-    def f(counts, values, nr, n):
-        return rl_jax.rl_decode(counts[0], values[0], nr[0], n[0],
-                                out_pad)[None]
-    return f
-
-
-def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
-                          out_pad: int):
-    f = jax.shard_map(
-        _rl_local_decode(out_pad), mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS, None))
-    return jax.jit(f)(counts2d, values2d, nrs, ns)
 
 
 def decompress_rl(comp: RLCompressed, mesh: Mesh | None = None,
@@ -314,8 +329,7 @@ def decompress_rl(comp: RLCompressed, mesh: Mesh | None = None,
             values2d[i, : hi - lo] = comp.values[lo:hi]
             nrs[i] = hi - lo
             ns[i] = int(comp.counts[lo:hi].astype(np.int64).sum())
-    out_pad = max(bucket,
-                  -(-int(ns.max()) // bucket) * bucket)
+    out_pad = max(bucket, -(-int(ns.max()) // bucket) * bucket)
     out = jax.device_get(rl_decompress_sharded(
         mesh, jnp.asarray(counts2d), jnp.asarray(values2d),
         jnp.asarray(nrs), jnp.asarray(ns, jnp.int32), out_pad))

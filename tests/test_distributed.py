@@ -46,20 +46,14 @@ def test_fl_distributed_equals_single(mesh):
         np.testing.assert_array_equal(out, data)
 
 
-def test_fl_merged_on_device(mesh):
-    """The all-gather + on-device compaction path must produce the same
-    dense streams as the host-side merge."""
+def test_fl_ici_merge_matches_host_merge(mesh):
+    """The all-gather (NCCL-analog) path must produce the identical
+    container payload as the host-side (MPI-analog) merge."""
     data = _mk(1, 128 * 8 * 64 + 777)
-    plan = dist.plan_shards(data.size, 8, bucket_frames=64)
-    d2 = jnp.asarray(dist.shard_host_data(data, plan))
-    ns = jnp.asarray(plan.ns, jnp.int32)
-    bits_m, vals_m, nf, vsz = jax.device_get(
-        dist.fl_compress_merged(mesh, d2, ns))
+    comp_ici = dist.compress_fl_ici(data, mesh, bucket_frames=64)
     bits_g, values_g = fl_numpy.encode(data)
-    assert int(nf) == bits_g.size
-    assert int(vsz) == values_g.size
-    np.testing.assert_array_equal(bits_m[: int(nf)], bits_g)
-    np.testing.assert_array_equal(vals_m[: int(vsz)], values_g)
+    np.testing.assert_array_equal(comp_ici.bits, bits_g)
+    np.testing.assert_array_equal(comp_ici.values, values_g)
 
 
 def test_rl_distributed_roundtrip(mesh):
