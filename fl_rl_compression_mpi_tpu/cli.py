@@ -80,78 +80,31 @@ def _resolve(method: str) -> str:
 
 
 def _compress(args, data: np.ndarray) -> None:
-    method = _resolve(args.method)
-    fam = "rl" if method.startswith("rl") else "fl"
+    from .models.registry import resolve
+    codec = resolve(_resolve(args.method))
     from .utils.timers import profiler_trace
     with timed("compression", nbytes=data.size, enabled=args.timers), \
             profiler_trace(args.profile):
-        if method == "fl":
-            from .ops import fl_jax
-            bits, values = fl_jax.encode(data, args.frame_length)
-            comp = container.FLCompressed(bits, values, data.size)
-        elif method == "fl-cpu":
-            from .ops import fl_numpy
-            bits, values = fl_numpy.encode(data, args.frame_length)
-            comp = container.FLCompressed(bits, values, data.size)
-        elif method in ("fl-dist", "fl-ici"):
-            from .parallel import dist
-            mesh = dist.make_mesh(args.devices)
-            if method == "fl-dist":
-                comp = dist.compress_fl(data, mesh, args.frame_length)
-            else:
-                comp = dist.compress_fl_ici(data, mesh, args.frame_length)
-        elif method == "rl":
-            from .ops import rl_jax
-            counts, values = rl_jax.encode(data)
-            comp = container.RLCompressed(counts, values, data.size)
-        elif method == "rl-cpu":
-            from .ops import rl_numpy
-            counts, values = rl_numpy.encode(data)
-            comp = container.RLCompressed(counts, values, data.size)
-        elif method == "rl-dist":
-            from .parallel import dist
-            comp = dist.compress_rl(data, dist.make_mesh(args.devices))
-        else:  # pragma: no cover
-            raise ValueError(method)
+        comp = codec.compress(data, frame_length=args.frame_length,
+                              devices=args.devices)
     with timed("saving output", enabled=args.timers):
-        if fam == "fl":
+        if codec.family == "fl":
             container.save_fl(args.output, comp)
         else:
             container.save_rl(args.output, comp)
 
 
 def _decompress(args) -> None:
-    method = _resolve(args.method)
-    fam = "rl" if method.startswith("rl") else "fl"
+    from .models.registry import resolve
+    codec = resolve(_resolve(args.method))
     with timed("loading compressed input", enabled=args.timers):
-        comp = (container.load_rl(args.input) if fam == "rl"
+        comp = (container.load_rl(args.input) if codec.family == "rl"
                 else container.load_fl(args.input))
     from .utils.timers import profiler_trace
     with timed("decompression", nbytes=int(comp.input_size),
                enabled=args.timers), profiler_trace(args.profile):
-        if method == "fl":
-            from .ops import fl_jax
-            out = fl_jax.decode(comp.input_size, comp.bits, comp.values,
-                                args.frame_length)
-        elif method == "fl-cpu":
-            from .ops import fl_numpy
-            out = fl_numpy.decode(comp.input_size, comp.bits, comp.values,
-                                  args.frame_length)
-        elif method in ("fl-dist", "fl-ici"):
-            from .parallel import dist
-            out = dist.decompress_fl(comp, dist.make_mesh(args.devices),
-                                     args.frame_length)
-        elif method == "rl":
-            from .ops import rl_jax
-            out = rl_jax.decode(comp.counts, comp.values)
-        elif method == "rl-cpu":
-            from .ops import rl_numpy
-            out = rl_numpy.decode(comp.counts, comp.values)
-        elif method == "rl-dist":
-            from .parallel import dist
-            out = dist.decompress_rl(comp, dist.make_mesh(args.devices))
-        else:  # pragma: no cover
-            raise ValueError(method)
+        out = codec.decompress(comp, frame_length=args.frame_length,
+                               devices=args.devices)
     with timed("saving output", nbytes=out.size, enabled=args.timers):
         from .fileio import save_file
         save_file(args.output, out)

@@ -31,9 +31,11 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .bitpack import FRAME_LENGTH, MAX_WIDTH
 
-TILE_R = 256                      # sublane rows per tile
+import os
+
+TILE_R = int(os.environ.get("FLRL_TILE_R", "2048"))  # sublane rows per tile
 LANES = 128
-TILE_WORDS = TILE_R * LANES       # 32768 words = 128 KiB per buffer
+TILE_WORDS = TILE_R * LANES       # default 1 MiB per buffer
 
 
 def _lane_in_seg(wpf: int):

@@ -106,3 +106,55 @@ def compress_fl_file(input_path: str, output_path: str,
 def _file_size(path: str) -> int:
     import os
     return os.path.getsize(path)
+
+
+def compress_rl_file(input_path: str, output_path: str,
+                     bucket_frames: int = 8192) -> None:
+    """RL analog of :func:`compress_fl_file` — per-process chunk encode,
+    size + payload exchange over DCN, process-0 container write.  Shard
+    boundaries may split runs (lossless; documented distributed
+    semantics)."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    data, _ = fileio.load_file_sharded(input_path, pid, nproc, FRAME_LENGTH)
+    mesh = dist.make_mesh()
+    comp = dist.compress_rl(np.asarray(data), mesh, bucket_frames)
+
+    sizes = _process_allgather(np.asarray(
+        [comp.counts.size, data.size], np.int64))
+    if nproc == 1:
+        merged = comp
+    else:
+        rmax = int(sizes[:, 0].max())
+        cpad = np.zeros(rmax, np.uint8)
+        cpad[: comp.counts.size] = comp.counts
+        vpad = np.zeros(rmax, np.uint8)
+        vpad[: comp.values.size] = comp.values
+        counts_all = _process_allgather(cpad)
+        vals_all = _process_allgather(vpad)
+        if pid != 0:
+            return
+        merged = container.RLCompressed(
+            counts=np.concatenate(
+                [counts_all[p, : sizes[p, 0]] for p in range(nproc)]),
+            values=np.concatenate(
+                [vals_all[p, : sizes[p, 0]] for p in range(nproc)]),
+            input_size=int(sizes[:, 1].sum()))
+    if pid == 0:
+        container.save_rl(output_path, merged)
+
+
+def decompress_fl_file(input_path: str, output_path: str,
+                       frame_length: int = FRAME_LENGTH,
+                       bucket_frames: int = 8192) -> None:
+    """Distributed decompression of a container file (the reference has no
+    distributed decode at all).  Every process decodes the full container
+    with its local chips; process 0 writes the output.  (A chunked
+    per-process variant needs a sharded output file protocol, which the
+    reference also lacks — single-writer keeps the CLI contract.)"""
+    if jax.process_index() != 0:
+        return
+    comp = container.load_fl(input_path)
+    out = dist.decompress_fl(comp, dist.make_mesh(), frame_length,
+                             bucket_frames)
+    fileio.save_file(output_path, out)

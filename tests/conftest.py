@@ -14,6 +14,9 @@ import os
 # env vars alone are too late — use jax.config, which works post-import as
 # long as no backend has been initialized yet.
 os.environ["JAX_PLATFORMS"] = "cpu"
+# Small Pallas tiles in interpret mode (default 2048 rows is tuned for HBM
+# pipelining on the real chip; 4 MiB-per-case interpret runs would crawl).
+os.environ.setdefault("FLRL_TILE_R", "256")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (

@@ -1,0 +1,68 @@
+"""Corrupt/truncated container handling (reference component #13's error
+model: tagged errors, no crashes — ``utils.cuh:6-28``, ``main.cu:95-99``)."""
+
+import numpy as np
+import pytest
+
+from fl_rl_compression_mpi_tpu import container
+from fl_rl_compression_mpi_tpu.cli import main
+from fl_rl_compression_mpi_tpu.native import get_native
+from fl_rl_compression_mpi_tpu.ops import fl_numpy
+
+
+@pytest.fixture
+def fl_file(tmp_path):
+    g = np.random.default_rng(0)
+    data = g.integers(0, 16, 10_000, np.uint8)
+    bits, values = fl_numpy.encode(data)
+    p = str(tmp_path / "x.fl")
+    container.save_fl(p, container.FLCompressed(bits, values, data.size))
+    return p, data
+
+
+def test_truncated_header(tmp_path):
+    p = str(tmp_path / "t.fl")
+    with open(p, "wb") as f:
+        f.write(b"\x01\x02\x03")
+    with pytest.raises(IOError):
+        container.load_fl(p)
+
+
+def test_truncated_payload(fl_file, tmp_path):
+    p, _ = fl_file
+    blob = open(p, "rb").read()
+    q = str(tmp_path / "trunc.fl")
+    with open(q, "wb") as f:
+        f.write(blob[:-10])
+    with pytest.raises(IOError):
+        container.load_fl(q)
+
+
+def test_cli_reports_error_not_crash(fl_file, tmp_path, capsys):
+    p, _ = fl_file
+    blob = open(p, "rb").read()
+    q = str(tmp_path / "trunc.fl")
+    with open(q, "wb") as f:
+        f.write(blob[:-10])
+    rc = main(["d", "fl-cpu", q, str(tmp_path / "out.bin")])
+    assert rc == 1
+    assert "[ERROR]" in capsys.readouterr().err
+
+
+def test_native_unfold_rejects_short_stream(fl_file):
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native unavailable")
+    p, data = fl_file
+    comp = container.load_fl(p)
+    with pytest.raises(ValueError):
+        nat.fl_unfold(comp.values[:-5], comp.bits, int(comp.input_size))
+
+
+def test_empty_container_roundtrip(tmp_path):
+    p = str(tmp_path / "e.fl")
+    container.save_fl(p, container.FLCompressed(
+        np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0))
+    assert open(p, "rb").read() == b"\x00" * 24
+    c = container.load_fl(p)
+    assert c.input_size == 0 and c.bits.size == 0
