@@ -160,6 +160,28 @@ def _use_pallas(frame_length: int, nw: int) -> bool:
             and nw % fl_pallas.TILE_WORDS == 0)
 
 
+def encode_fields_device(words: jax.Array, n: jax.Array,
+                         frame_length: int = FRAME_LENGTH):
+    """Backend-selected field encode (Pallas on TPU when shapes allow,
+    else the XLA kernel).  Returns ``(bits_dev, fields)`` where
+    ``bits_dev`` is ``(F,)`` u8 (XLA) or ``(rows, 128/wpf)`` u8 (Pallas);
+    flatten with ``np.asarray(...).reshape(-1)[:frames]`` on host."""
+    if _use_pallas(frame_length, words.shape[0]):
+        from . import fl_pallas
+        return fl_pallas.fl_encode_fields_pallas(words, n, frame_length)
+    return fl_encode_fields(words, n, frame_length=frame_length)
+
+
+def decode_fields_device(fields: jax.Array, bits: jax.Array, n: jax.Array,
+                         frame_length: int = FRAME_LENGTH) -> jax.Array:
+    """Backend-selected field decode (``bits`` is flat u8[F_pad])."""
+    if _use_pallas(frame_length, fields.shape[0]):
+        from . import fl_pallas
+        return fl_pallas.fl_decode_fields_pallas(fields, bits, n,
+                                                 frame_length)
+    return fl_decode_fields(fields, bits, n, frame_length=frame_length)
+
+
 def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192):
     """NumPy in → (bits u8[F], values u8[V]) out, exact sizes, bit-exact
@@ -173,18 +195,13 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     npad = pad_to_frames(n, frame_length, bucket_frames)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
-    if _use_pallas(frame_length, npad // 4):
-        from . import fl_pallas
-        enc_fn = functools.partial(fl_pallas.fl_encode_fields_pallas,
-                                   frame_length=frame_length)
-    else:
-        enc_fn = functools.partial(fl_encode_fields,
-                                   frame_length=frame_length)
-    bits_d, fields_d = enc_fn(jnp.asarray(buf.view(np.uint32)),
-                              jnp.int32(n))
+    bits_d, fields_d = encode_fields_device(
+        jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
     frames = -(-n // frame_length)
     wpf = frame_length // 4
-    bits = np.asarray(jax.device_get(bits_d))[:frames]
+    # Pallas returns bits 2-D (rows, 128/wpf); XLA returns (F,) — both
+    # flatten to frame order on host.
+    bits = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
     fields_h = np.asarray(jax.device_get(fields_d))[: frames * wpf]
     return bits, fold(fields_h, bits, n, frame_length)
 
@@ -208,12 +225,6 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     fbuf[: fields_h.size] = fields_h
     bbuf = np.zeros(fpad, np.uint8)
     bbuf[: bits.size] = bits
-    if _use_pallas(frame_length, npad // 4):
-        from . import fl_pallas
-        dec_fn = functools.partial(fl_pallas.fl_decode_fields_pallas,
-                                   frame_length=frame_length)
-    else:
-        dec_fn = functools.partial(fl_decode_fields,
-                                   frame_length=frame_length)
-    out = dec_fn(jnp.asarray(fbuf), jnp.asarray(bbuf), jnp.int32(n))
+    out = decode_fields_device(jnp.asarray(fbuf), jnp.asarray(bbuf),
+                               jnp.int32(n), frame_length)
     return np.asarray(jax.device_get(out)).view(np.uint8)[:n]

@@ -85,7 +85,9 @@ def _tail_mask(n: jax.Array, base: jax.Array) -> jax.Array:
 
 
 def _encode_kernel(wpf: int):
-    def kernel(n_ref, w_ref, fields_ref, bw_ref):
+    fpr = LANES // wpf               # frames per 128-lane row
+
+    def kernel(n_ref, w_ref, fields_ref, bits_ref):
         i = pl.program_id(0)
         n = n_ref[0, 0]
         w = w_ref[...].astype(jnp.uint32)
@@ -94,14 +96,23 @@ def _encode_kernel(wpf: int):
         o = w | (w >> 8)
         o = (o | (o >> 16)) & jnp.uint32(0xFF)
         seg = _seg_or_broadcast(o.astype(jnp.int32), wpf)
-        b = _required_bits(seg).astype(jnp.uint32)
+        b = _required_bits(seg)
 
         e1 = (w >> 8) & jnp.uint32(0xFF)
         e2 = (w >> 16) & jnp.uint32(0xFF)
         e3 = w >> 24
-        fields_ref[...] = ((w & jnp.uint32(0xFF)) | (e1 << b)
-                           | (e2 << (2 * b)) | (e3 << (3 * b)))
-        bw_ref[...] = b.astype(jnp.uint8)
+        bu = b.astype(jnp.uint32)
+        fields_ref[...] = ((w & jnp.uint32(0xFF)) | (e1 << bu)
+                           | (e2 << (2 * bu)) | (e3 << (3 * bu)))
+        # Per-frame width extraction: strided lane selection is unsupported
+        # / scalar-slow, but a one-hot selection matmul rides the MXU for
+        # free (picks lane j*wpf of each row into column j).
+        sel = (jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 0)
+               == jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 1)
+               * wpf).astype(jnp.float32)
+        bc = jnp.dot(b.astype(jnp.float32), sel,
+                     preferred_element_type=jnp.float32)
+        bits_ref[...] = bc.astype(jnp.int32).astype(jnp.uint8)
     return kernel
 
 
@@ -131,16 +142,23 @@ def _interpret() -> bool:
 @functools.partial(jax.jit, static_argnames=("frame_length",))
 def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
                             frame_length: int = FRAME_LENGTH):
-    """Pallas field encode.  ``words`` u32[NW], NW a multiple of 32768.
-    Returns ``(bits u8[F], fields u32[NW])``."""
+    """Pallas field encode.  ``words`` u32[NW], NW a tile multiple.
+
+    Returns ``(bits2d u8[rows, 128/wpf], fields u32[NW])``.  ``bits2d``
+    holds the per-frame widths in row-major frame order; it stays 2-D
+    because every on-device flattening of a minor-dim<128 layout lowers to
+    a scalar-core relayout (hundreds of ms — experiments/FINDINGS.md).
+    Flatten on host: ``np.asarray(bits2d).reshape(-1)[:frames]``.
+    """
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
     nw = words.shape[0]
-    assert nw % TILE_WORDS == 0, "pad to a 128 KiB tile multiple"
+    assert nw % TILE_WORDS == 0, "pad to a tile multiple"
     grid = nw // TILE_WORDS
+    fpr = LANES // wpf
     n2 = jnp.asarray(n, jnp.int32).reshape(1, 1)
 
-    fields, bw = pl.pallas_call(
+    fields, bits2d = pl.pallas_call(
         _encode_kernel(wpf),
         grid=(grid,),
         in_specs=[
@@ -151,17 +169,16 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
         out_specs=[
             pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_R, fpr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
-            jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint8),
+            jax.ShapeDtypeStruct((nw // LANES, fpr), jnp.uint8),
         ],
         interpret=_interpret(),
     )(n2, words.reshape(nw // LANES, LANES))
-    bits = bw.reshape(-1)[::wpf]
-    return bits, fields.reshape(-1)
+    return bits2d, fields.reshape(-1)
 
 
 @functools.partial(jax.jit, static_argnames=("frame_length",))

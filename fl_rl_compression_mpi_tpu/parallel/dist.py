@@ -94,10 +94,17 @@ def _frames_of(plan: ShardPlan, i: int, frame_length: int) -> int:
 # FL — sharded field kernels
 # ---------------------------------------------------------------------------
 
+def _bits_spec(frame_length: int, shard_words: int):
+    """PartitionSpec for the local encode's bits output — rank depends on
+    which kernel backend is selected (Pallas returns 2-D widths)."""
+    rank = 2 if fl_jax._use_pallas(frame_length, shard_words) else 1
+    return P(AXIS, *([None] * rank))
+
+
 def _fl_local_encode(frame_length):
     def f(words, n):
-        bits, fields = fl_jax.fl_encode_fields(
-            words[0], n[0], frame_length=frame_length)
+        bits, fields = fl_jax.encode_fields_device(
+            words[0], n[0], frame_length)
         return bits[None], fields[None]
     return f
 
@@ -107,24 +114,26 @@ def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
     """Per-shard field encode; outputs stay sharded over ``dp`` (the host
     later pulls shard slices in rank order — MPI-gather analog).
 
-    ``words2d``: u32[N_shards, shard_npad/4].  Returns ``(bits u8[N, Fp],
-    fields u32[N, Wp])``.
+    ``words2d``: u32[N_shards, shard_npad/4].  Returns ``(bits, fields)``;
+    ``bits`` is u8[N, Fp] (XLA kernel) or u8[N, rows, fpr] (Pallas) — a
+    host ``reshape(-1)`` per shard yields frame order either way.
     """
     f = jax.shard_map(
         _fl_local_encode(frame_length), mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS, None)))
+        out_specs=(_bits_spec(frame_length, words2d.shape[1]),
+                   P(AXIS, None)))
     return jax.jit(f)(words2d, ns)
 
 
 def _fl_merged_encode(frame_length):
     def f(words, n):
-        bits, fields = fl_jax.fl_encode_fields(
-            words[0], n[0], frame_length=frame_length)
+        bits, fields = fl_jax.encode_fields_device(
+            words[0], n[0], frame_length)
         # ICI all-gather of the fixed-shape payloads — the analog of the
         # reference's max-padded ncclAllGather (fl_gpu.cu:144-194); every
         # chip redundantly holds the gathered result, as there.
-        bits_g = jax.lax.all_gather(bits, AXIS)      # (N, Fp)
+        bits_g = jax.lax.all_gather(bits, AXIS)
         fields_g = jax.lax.all_gather(fields, AXIS)  # (N, Wp)
         return bits_g, fields_g
     return f
@@ -142,8 +151,8 @@ def fl_compress_merged(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
 
 def _fl_local_decode(frame_length):
     def f(fields, bits, n):
-        out = fl_jax.fl_decode_fields(fields[0], bits[0], n[0],
-                                      frame_length=frame_length)
+        out = fl_jax.decode_fields_device(fields[0], bits[0], n[0],
+                                          frame_length)
         return out[None]
     return f
 
@@ -222,7 +231,7 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
     wpf = frame_length // 4
     nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
     bits_all = np.concatenate(
-        [bits[i, : nfs[i]] for i in range(n_dev)])
+        [np.asarray(bits[i]).reshape(-1)[: nfs[i]] for i in range(n_dev)])
     fields_all = np.concatenate(
         [fields[i, : nfs[i] * wpf] for i in range(n_dev)])
     return FLCompressed(
@@ -249,8 +258,9 @@ def compress_fl_ici(data: np.ndarray, mesh: Mesh | None = None,
         frame_length))
     wpf = frame_length // 4
     nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
+    bits_h = np.asarray(bits_g)
     bits_all = np.concatenate(
-        [np.asarray(bits_g)[i, : nfs[i]] for i in range(n_dev)])
+        [bits_h[i].reshape(-1)[: nfs[i]] for i in range(n_dev)])
     fields_all = np.concatenate(
         [np.asarray(fields_g)[i, : nfs[i] * wpf] for i in range(n_dev)])
     return FLCompressed(
