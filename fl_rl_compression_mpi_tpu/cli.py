@@ -131,6 +131,16 @@ def main(argv=None) -> int:
         print("[ERROR] --frame-length must be a positive multiple of 8 "
               "(frame byte-alignment invariant)", file=sys.stderr)
         return 2
+    if args.timers:
+        # device banner, like the reference's [INFO] rank/device prints
+        # (main.cu:42,68) — but only when observability is requested, so
+        # the default path never pays for backend initialization early.
+        try:
+            import jax
+            print(f"[INFO] backend={jax.default_backend()} "
+                  f"devices={jax.device_count()}", file=sys.stderr)
+        except Exception as e:  # pragma: no cover
+            print(f"[INFO] backend unavailable: {e}", file=sys.stderr)
     try:
         if args.operation == "c":
             with timed("loading input", enabled=args.timers) as t:

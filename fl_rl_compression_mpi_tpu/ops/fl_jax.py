@@ -172,9 +172,22 @@ def encode_fields_device(words: jax.Array, n: jax.Array,
     return fl_encode_fields(words, n, frame_length=frame_length)
 
 
+def prep_decode_bits(bits_flat: np.ndarray, nw: int,
+                     frame_length: int = FRAME_LENGTH) -> np.ndarray:
+    """Shape a host widths array (u8[F_pad]) for :func:`decode_fields_device`
+    — (rows, 128/wpf) for the Pallas kernel (reshaping flat→padded on
+    device is a scalar-core relayout), flat for the XLA kernel."""
+    if _use_pallas(frame_length, nw):
+        wpf = frame_length // 4
+        return np.ascontiguousarray(bits_flat).reshape(nw // 128,
+                                                       128 // wpf)
+    return bits_flat
+
+
 def decode_fields_device(fields: jax.Array, bits: jax.Array, n: jax.Array,
                          frame_length: int = FRAME_LENGTH) -> jax.Array:
-    """Backend-selected field decode (``bits`` is flat u8[F_pad])."""
+    """Backend-selected field decode.  ``bits`` must be pre-shaped with
+    :func:`prep_decode_bits` (flat u8[F_pad] for XLA, 2-D for Pallas)."""
     if _use_pallas(frame_length, fields.shape[0]):
         from . import fl_pallas
         return fl_pallas.fl_decode_fields_pallas(fields, bits, n,
@@ -225,6 +238,7 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     fbuf[: fields_h.size] = fields_h
     bbuf = np.zeros(fpad, np.uint8)
     bbuf[: bits.size] = bits
-    out = decode_fields_device(jnp.asarray(fbuf), jnp.asarray(bbuf),
+    bprep = prep_decode_bits(bbuf, npad // 4, frame_length)
+    out = decode_fields_device(jnp.asarray(fbuf), jnp.asarray(bprep),
                                jnp.int32(n), frame_length)
     return np.asarray(jax.device_get(out)).view(np.uint8)[:n]

@@ -29,7 +29,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .bitpack import FRAME_LENGTH, MAX_WIDTH
+from .bitpack import FRAME_LENGTH
 
 import os
 
@@ -38,39 +38,40 @@ LANES = 128
 TILE_WORDS = TILE_R * LANES       # default 1 MiB per buffer
 
 
-def _lane_in_seg(wpf: int):
-    lane = jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 1)
-    return lane % wpf
+def _word_widths_f32exp(o: jax.Array) -> jax.Array:
+    """Per-word minimal width ``max(1, bitlen(o))`` via the f32 exponent
+    field — 4 ops instead of an 8-step compare chain."""
+    f1 = (o | jnp.uint32(1)).astype(jnp.int32).astype(jnp.float32)
+    return (jax.lax.bitcast_convert_type(f1, jnp.int32) >> 23) - 126
 
 
-def _seg_or_broadcast(o: jax.Array, wpf: int) -> jax.Array:
-    """Per-``wpf``-lane-segment OR of ``o``, broadcast to every lane of the
-    segment.  Two log-phases of lane rolls, masked at segment boundaries.
+def _frame_widths_mxu(wq: jax.Array, wpf: int):
+    """Per-frame width = segment max of per-word widths, via one tiny MXU
+    matmul: encode width w as the float 2^(S·w) (S > log2(wpf), so the
+    sum's exponent determines the max exactly — float rounding can only
+    drop low bits, never crosses an S-boundary), sum words of each frame
+    with a one-hot (LANES, fpr) matrix, read the exponent back.
+
+    Returns ``(b_fpr (R, fpr) i32, b_lane (R, LANES) i32)`` — the compact
+    per-frame widths and their broadcast back to every lane (a second tiny
+    matmul).  Replaces two log-phase lane-roll trees (~30 VPU ops/word).
     """
-    lin = _lane_in_seg(wpf)
-    # Phase 1: suffix-OR — lane l accumulates OR of [l, seg_end).
-    m = o
-    k = 1
-    while k < wpf:
-        rolled = pltpu.roll(m, LANES - k, 1)   # == roll by -k (circular)
-        m = jnp.where(lin + k < wpf, m | rolled, m)
-        k *= 2
-    # Now segment-start lanes hold the full segment OR.
-    s = jnp.where(lin == 0, m, 0)
-    # Phase 2: prefix-OR spread of the start value to the whole segment.
-    k = 1
-    while k < wpf:
-        rolled = pltpu.roll(s, k, 1)
-        s = jnp.where(lin >= k, s | rolled, s)
-        k *= 2
-    return s
-
-
-def _required_bits(v: jax.Array) -> jax.Array:
-    acc = jnp.zeros_like(v)
-    for k in range(MAX_WIDTH):
-        acc = acc + (v >= (1 << k)).astype(v.dtype)
-    return jnp.maximum(acc, 1)
+    fpr = LANES // wpf
+    spacing = (wpf - 1).bit_length() + 1           # 6 for wpf=32
+    v = jax.lax.bitcast_convert_type((spacing * wq + 127) << 23,
+                                     jnp.float32)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 0) // wpf
+           == jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 1)
+           ).astype(jnp.float32)
+    seg = jnp.dot(v, sel, preferred_element_type=jnp.float32)
+    e = (jax.lax.bitcast_convert_type(seg, jnp.int32) >> 23) - 127
+    b_fpr = e // spacing
+    selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1) // wpf
+            ).astype(jnp.float32)
+    b_lane = jnp.dot(b_fpr.astype(jnp.float32), selT,
+                     preferred_element_type=jnp.float32).astype(jnp.int32)
+    return b_fpr, b_lane
 
 
 def _tail_mask(n: jax.Array, base: jax.Array) -> jax.Array:
@@ -85,8 +86,6 @@ def _tail_mask(n: jax.Array, base: jax.Array) -> jax.Array:
 
 
 def _encode_kernel(wpf: int):
-    fpr = LANES // wpf               # frames per 128-lane row
-
     def kernel(n_ref, w_ref, fields_ref, bits_ref):
         i = pl.program_id(0)
         n = n_ref[0, 0]
@@ -95,33 +94,39 @@ def _encode_kernel(wpf: int):
 
         o = w | (w >> 8)
         o = (o | (o >> 16)) & jnp.uint32(0xFF)
-        seg = _seg_or_broadcast(o.astype(jnp.int32), wpf)
-        b = _required_bits(seg)
+        wq = _word_widths_f32exp(o)
+        b_fpr, b_lane = _frame_widths_mxu(wq, wpf)
+        bits_ref[...] = b_fpr.astype(jnp.uint8)
 
+        # Spread via multiply (m = 2^b): adds are exact ORs because the
+        # contributions occupy disjoint bit ranges.
+        m = jnp.uint32(1) << b_lane.astype(jnp.uint32)
+        m2 = m * m
         e1 = (w >> 8) & jnp.uint32(0xFF)
         e2 = (w >> 16) & jnp.uint32(0xFF)
         e3 = w >> 24
-        bu = b.astype(jnp.uint32)
-        fields_ref[...] = ((w & jnp.uint32(0xFF)) | (e1 << bu)
-                           | (e2 << (2 * bu)) | (e3 << (3 * bu)))
-        # Per-frame width extraction: strided lane selection is unsupported
-        # / scalar-slow, but a one-hot selection matmul rides the MXU for
-        # free (picks lane j*wpf of each row into column j).
-        sel = (jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 0)
-               == jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 1)
-               * wpf).astype(jnp.float32)
-        bc = jnp.dot(b.astype(jnp.float32), sel,
-                     preferred_element_type=jnp.float32)
-        bits_ref[...] = bc.astype(jnp.int32).astype(jnp.uint8)
+        fields_ref[...] = ((w & jnp.uint32(0xFF)) + e1 * m + e2 * m2
+                           + e3 * m2 * m)
     return kernel
 
 
 def _decode_kernel(wpf: int):
-    def kernel(n_ref, f_ref, bw_ref, out_ref):
+    fpr = LANES // wpf
+
+    def kernel(n_ref, f_ref, bits_ref, out_ref):
         i = pl.program_id(0)
         n = n_ref[0, 0]
         f = f_ref[...].astype(jnp.uint32)
-        b = bw_ref[...].astype(jnp.uint32)
+        # Widths arrive compact (R, fpr); broadcast to lanes on the MXU
+        # (a flat->padded reshape outside the kernel would be a
+        # scalar-core relayout — FINDINGS.md).
+        b4 = bits_ref[...].astype(jnp.float32)
+        selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1)
+                // wpf).astype(jnp.float32)
+        b = jnp.dot(b4, selT,
+                    preferred_element_type=jnp.float32).astype(
+                        jnp.int32).astype(jnp.uint32)
         mask = (jnp.uint32(1) << b) - jnp.uint32(1)
         w = ((f & mask) | (((f >> b) & mask) << 8)
              | (((f >> (2 * b)) & mask) << 16)
@@ -182,21 +187,20 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
 
 
 @functools.partial(jax.jit, static_argnames=("frame_length",))
-def fl_decode_fields_pallas(fields: jax.Array, bits: jax.Array, n: jax.Array,
+def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
+                            n: jax.Array,
                             frame_length: int = FRAME_LENGTH) -> jax.Array:
-    """Pallas field decode: fields u32[NW] + bits u8[F] → words u32[NW]."""
+    """Pallas field decode: fields u32[NW] + bits2d u8[rows, 128/wpf]
+    (frame widths in row-major frame order — reshape flat host bits with
+    NumPy, never on device) → words u32[NW]."""
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
     nw = fields.shape[0]
     assert nw % TILE_WORDS == 0
-    assert bits.shape[0] * wpf == nw
+    fpr = LANES // wpf
+    assert bits2d.shape == (nw // LANES, fpr), bits2d.shape
     grid = nw // TILE_WORDS
     n2 = jnp.asarray(n, jnp.int32).reshape(1, 1)
-
-    # Per-word width broadcast (one XLA pass; the kernel reads it as u8 —
-    # a quarter of the field traffic).
-    bw = jnp.broadcast_to(bits[:, None], (bits.shape[0], wpf)).reshape(
-        nw // LANES, LANES)
 
     out = pl.pallas_call(
         _decode_kernel(wpf),
@@ -205,14 +209,14 @@ def fl_decode_fields_pallas(fields: jax.Array, bits: jax.Array, n: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((TILE_R, fpr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
         interpret=_interpret(),
-    )(n2, fields.reshape(nw // LANES, LANES), bw)
+    )(n2, fields.reshape(nw // LANES, LANES), bits2d)
     return out.reshape(-1)
 
 

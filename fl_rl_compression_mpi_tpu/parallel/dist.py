@@ -122,7 +122,7 @@ def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
         _fl_local_encode(frame_length), mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
         out_specs=(_bits_spec(frame_length, words2d.shape[1]),
-                   P(AXIS, None)))
+                   P(AXIS, None)), check_vma=False)
     return jax.jit(f)(words2d, ns)
 
 
@@ -161,11 +161,16 @@ def fl_decompress_sharded(mesh: Mesh, fields2d: jax.Array, bits2d: jax.Array,
                           ns: jax.Array, frame_length: int = FRAME_LENGTH):
     """Distributed field decode — each shard decodes its own frame range.
     The reference has no distributed decompression at all
-    (``main.cu:131-169`` falls back to single-process CPU)."""
+    (``main.cu:131-169`` falls back to single-process CPU).
+
+    ``bits2d``: per-shard widths pre-shaped with
+    `fl_jax.prep_decode_bits` (so rank is 2 for XLA, 3 for Pallas).
+    """
+    bits_spec = P(AXIS, *([None] * (bits2d.ndim - 1)))
     f = jax.shard_map(
         _fl_local_decode(frame_length), mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
-        out_specs=P(AXIS, None))
+        in_specs=(P(AXIS, None), bits_spec, P(AXIS)),
+        out_specs=P(AXIS, None), check_vma=False)
     return jax.jit(f)(fields2d, bits2d, ns)
 
 
@@ -187,7 +192,8 @@ def rl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array):
     f = jax.shard_map(
         _rl_local_encode, mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)))
+        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+        check_vma=False)
     return jax.jit(f)(data2d, ns)
 
 
@@ -203,7 +209,7 @@ def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
     f = jax.shard_map(
         _rl_local_decode(out_pad), mesh=mesh,
         in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS, None))
+        out_specs=P(AXIS, None), check_vma=False)
     return jax.jit(f)(counts2d, values2d, nrs, ns)
 
 
@@ -290,8 +296,12 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         fields2d[i, : nf_i * wpf] = fields_all[
             fstart * wpf: (fstart + nf_i) * wpf]
         fstart += nf_i
+    bits_prep = np.stack([
+        fl_jax.prep_decode_bits(bits2d[i], plan.shard_npad // 4,
+                                frame_length)
+        for i in range(n_dev)])
     out = jax.device_get(fl_decompress_sharded(
-        mesh, jnp.asarray(fields2d), jnp.asarray(bits2d),
+        mesh, jnp.asarray(fields2d), jnp.asarray(bits_prep),
         jnp.asarray(plan.ns, jnp.int32), frame_length))
     out_bytes = np.asarray(out).view(np.uint8).reshape(n_dev, -1)
     return np.concatenate(

@@ -45,9 +45,16 @@ def main() -> int:
     for size_mb in args.sizes_mb:
         n = size_mb * (1 << 20)
         rng = np.random.default_rng(size_mb)
-        host = rng.integers(0, 16, n, np.uint8)  # low-entropy (4-bit frames)
+        # family-appropriate synthetics (BASELINE.json configs): FL gets
+        # low-entropy bytes (4-bit frames); RL gets long-run data (mean
+        # run ~64 — random bytes are RL's degenerate worst case).
+        fl_host = rng.integers(0, 16, n, np.uint8)
+        nruns = n // 32
+        rl_host = np.repeat(rng.integers(0, 256, nruns, np.uint8),
+                            rng.integers(16, 112, nruns))[:n].copy()
         for method in args.methods:
             codec = resolve(method)
+            host = rl_host if codec.family == "rl" else fl_host
             try:
                 comp = codec.compress(host)       # warm (compile/caches)
                 ts = []

@@ -35,17 +35,13 @@ def test_encode_matches_xla(seed, size, hi):
                                   np.asarray(fields_x)[:nwv])
 
 
-def _flat_bits(bits2d):
-    return jnp.asarray(np.asarray(bits2d).reshape(-1))
-
-
 @pytest.mark.parametrize("seed,size,hi", [(5, 4 * TW - 3, 32), (6, 999, 256)])
 def test_decode_roundtrip(seed, size, hi):
     data = np.random.default_rng(seed).integers(0, hi, size, np.uint8)
     words, n = _prep(data)
+    # Encode's (rows, fpr) widths output is exactly decode's input shape.
     bits_p, fields_p = fl_pallas.fl_encode_fields_pallas(words, jnp.int32(n))
-    out = fl_pallas.fl_decode_fields_pallas(fields_p, _flat_bits(bits_p),
-                                            jnp.int32(n))
+    out = fl_pallas.fl_decode_fields_pallas(fields_p, bits_p, jnp.int32(n))
     np.testing.assert_array_equal(
         np.asarray(out).view(np.uint8)[:n], data)
 
@@ -55,7 +51,7 @@ def test_zero_and_uniform():
         words, n = _prep(data)
         bits_p, fields_p = fl_pallas.fl_encode_fields_pallas(
             words, jnp.int32(n))
-        out = fl_pallas.fl_decode_fields_pallas(fields_p, _flat_bits(bits_p),
+        out = fl_pallas.fl_decode_fields_pallas(fields_p, bits_p,
                                                 jnp.int32(n))
         np.testing.assert_array_equal(
             np.asarray(out).view(np.uint8)[:n], data)
