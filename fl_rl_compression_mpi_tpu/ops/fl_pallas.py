@@ -120,7 +120,8 @@ def _decode_kernel(wpf: int):
         # Widths arrive compact (R, fpr); broadcast to lanes on the MXU
         # (a flat->padded reshape outside the kernel would be a
         # scalar-core relayout — FINDINGS.md).
-        b4 = bits_ref[...].astype(jnp.float32)
+        # u8→i32→f32 (Mosaic has no direct u8→f32 cast on hardware)
+        b4 = bits_ref[...].astype(jnp.int32).astype(jnp.float32)
         selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1)
                 // wpf).astype(jnp.float32)
