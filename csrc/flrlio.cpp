@@ -250,26 +250,46 @@ int64_t flrl_fl_fold(const uint32_t* fields, const uint8_t* bits, int64_t n,
     uint64_t acc = 0;
     int accbits = 0;
     int64_t w = 0;
-    // Word-granular emission: flush 4 bytes at a time (unaligned store),
-    // trailing partial word flushed bytewise.
-    for (int q = 0; q < wpf; ++q) {
-      acc |= static_cast<uint64_t>(in[q]) << accbits;
-      accbits += b4;
-      if (accbits >= 32) {
-        if (w + 4 <= nbytes) {
+    // Word-granular emission: flush 4 bytes whenever >= 32 bits are
+    // buffered (unaligned store), trailing partial word flushed bytewise.
+    // Full frames emit b4*wpf/8 = 16*b bytes, always a multiple of 4, so
+    // only the global tail frame takes the byte path.
+    int q = 0;
+    if (nbytes % 4 == 0) {               // full frame: branch-light loop
+      const int64_t nwords = nbytes / 4;
+      int64_t ww = 0;
+      for (; q < wpf && ww < nwords; ++q) {
+        acc |= static_cast<uint64_t>(in[q]) << accbits;
+        accbits += b4;
+        while (accbits >= 32 && ww < nwords) {
           const uint32_t lo = static_cast<uint32_t>(acc);
-          memcpy(out + w, &lo, 4);
-          w += 4;
+          memcpy(out + 4 * ww, &lo, 4);
+          ++ww;
           acc >>= 32;
           accbits -= 32;
-        } else {
-          break;
         }
       }
-    }
-    while (w < nbytes) {
-      out[w++] = static_cast<uint8_t>(acc & 0xFF);
-      acc >>= 8;
+      w = 4 * ww;
+    } else {
+      for (; q < wpf; ++q) {
+        acc |= static_cast<uint64_t>(in[q]) << accbits;
+        accbits += b4;
+        if (accbits >= 32) {
+          if (w + 4 <= nbytes) {
+            const uint32_t lo = static_cast<uint32_t>(acc);
+            memcpy(out + w, &lo, 4);
+            w += 4;
+            acc >>= 32;
+            accbits -= 32;
+          } else {
+            break;
+          }
+        }
+      }
+      while (w < nbytes) {
+        out[w++] = static_cast<uint8_t>(acc & 0xFF);
+        acc >>= 8;
+      }
     }
   }
   delete[] offs;

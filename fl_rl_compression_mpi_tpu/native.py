@@ -175,8 +175,8 @@ class Native:
 
 def _build() -> bool:
     os.makedirs(os.path.dirname(_SO_PATH), exist_ok=True)
-    cmd = ["g++", "-O3", "-std=c++17", "-fPIC", "-shared", "-fopenmp",
-           "-o", _SO_PATH, _SRC_PATH]
+    cmd = ["g++", "-O3", "-march=native", "-std=c++17", "-fPIC", "-shared",
+           "-fopenmp", "-o", _SO_PATH, _SRC_PATH]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
         return True
