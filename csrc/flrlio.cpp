@@ -362,6 +362,23 @@ namespace {
 // IMPLEMENTATION-PLAN.md:125).  The final piece may extend past `hi` (it
 // belongs to this range because it begins here).  Pass null outputs for a
 // counting dry run.  Returns the number of (count, value) pairs.
+// Scan forward while bytes equal v, 8 at a time (u64 compare), then
+// byte-wise to the exact boundary.  lim bounds the scan.
+static inline int64_t run_scan(const uint8_t* data, int64_t i, int64_t lim,
+                               uint8_t v) {
+  uint64_t pat;
+  memset(&pat, v, sizeof pat);
+  int64_t end = i;
+  while (end + 8 <= lim) {
+    uint64_t w;
+    memcpy(&w, data + end, 8);
+    if (w != pat) break;
+    end += 8;
+  }
+  while (end < lim && data[end] == v) ++end;
+  return end;
+}
+
 int64_t rl_emit(const uint8_t* data, int64_t n, int64_t lo, int64_t hi,
                 int64_t run_start, uint8_t* counts_out,
                 uint8_t* values_out) {
@@ -372,8 +389,7 @@ int64_t rl_emit(const uint8_t* data, int64_t n, int64_t lo, int64_t hi,
     const uint8_t v = data[i];
     const int64_t cap_end = i + (255 - ((i - start) % 255));
     const int64_t lim = n < cap_end ? n : cap_end;
-    int64_t end = i;
-    while (end < lim && data[end] == v) ++end;
+    const int64_t end = run_scan(data, i, lim, v);
     if (counts_out) {
       counts_out[r] = static_cast<uint8_t>(end - i);
       values_out[r] = v;
@@ -429,9 +445,8 @@ int64_t flrl_rl_encode(const uint8_t* data, int64_t n,
     int64_t fstart = s;
     if (first_cap > lo) {
       const uint8_t v = data[lo];
-      int64_t t = lo;
       const int64_t lim = first_cap < hi ? first_cap : hi;
-      while (t < lim && data[t] == v) ++t;
+      const int64_t t = run_scan(data, lo, lim, v);
       if (t < lim || (t == lim && t < first_cap)) {
         // crossing run ended naturally at t (before its next cap) —
         // if t == hi no piece begins in this chunk at all
