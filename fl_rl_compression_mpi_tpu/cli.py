@@ -90,8 +90,15 @@ def _compress(args, data: np.ndarray) -> None:
     with timed("saving output", enabled=args.timers):
         if codec.family == "fl":
             container.save_fl(args.output, comp)
+            payload = comp.bits.size + comp.values.size
         else:
             container.save_rl(args.output, comp)
+            payload = comp.counts.size + comp.values.size
+    if args.timers:
+        n_in = int(comp.input_size)
+        ratio = (payload + 24) / n_in if n_in else 0.0
+        print(f"[INFO] compressed {n_in} -> {payload + 24} bytes "
+              f"(ratio {ratio:.4f})", file=sys.stderr)
 
 
 def _decompress(args) -> None:
