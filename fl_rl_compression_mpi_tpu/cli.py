@@ -67,6 +67,12 @@ def _parser() -> argparse.ArgumentParser:
     p.add_argument("--devices", type=int, default=None,
                    help="number of chips for distributed methods "
                         "(default: all)")
+    p.add_argument("--stream-chunk-mb", type=int, default=None,
+                   metavar="MB",
+                   help="FL only: stream the file in frame-aligned chunks "
+                        "of this size (bounded memory for any file size; "
+                        "byte-identical output — the reference loads whole "
+                        "files)")
     return p
 
 
@@ -149,6 +155,24 @@ def main(argv=None) -> int:
         except Exception as e:  # pragma: no cover
             print(f"[INFO] backend unavailable: {e}", file=sys.stderr)
     try:
+        if args.stream_chunk_mb is not None:
+            if not _resolve(args.method).startswith("fl"):
+                print("[ERROR] --stream-chunk-mb supports FL methods only",
+                      file=sys.stderr)
+                return 2
+            from . import stream
+            with timed("streaming " + ("compression" if args.operation == "c"
+                                       else "decompression"),
+                       enabled=args.timers):
+                if args.operation == "c":
+                    stream.compress_fl_stream(
+                        args.input, args.output, args.frame_length,
+                        args.stream_chunk_mb)
+                else:
+                    stream.decompress_fl_stream(
+                        args.input, args.output, args.frame_length,
+                        args.stream_chunk_mb)
+            return 0
         if args.operation == "c":
             with timed("loading input", enabled=args.timers) as t:
                 from .fileio import load_file

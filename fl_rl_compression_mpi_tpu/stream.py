@@ -1,0 +1,109 @@
+"""Streaming (chunked) compression — bounded memory for any file size.
+
+The reference loads whole files into host RAM and whole chunks into GPU
+memory (``loadFile``/``loadFileMpi``; its SLURM config caps at 16 GB RAM).
+Frame alignment (SURVEY.md finding #3) makes streaming trivial by design:
+any frame-multiple chunking of the input produces byte-identical output to
+a whole-file encode, so this driver processes fixed-size chunks —
+device-encode fields, host-fold, append — with memory bounded by one chunk
+regardless of file size.  Decompression streams symmetrically (per-chunk
+frame ranges are computed from the widths header).
+
+The FL container stores `bits` before `values`, so a single-pass streaming
+writer buffers only the (tiny) widths array in RAM and spools packed bytes
+to a temp file next to the output, stitching on close.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import numpy as np
+
+from .container import _HEADER
+from .ops import fl_jax
+from .ops.bitpack import FRAME_LENGTH
+
+# frame-aligned chunk; multiple of the Pallas tile (1 MiB) so the fast
+# kernel path is used for every chunk
+DEFAULT_CHUNK = 256 << 20
+
+
+def _chunk_bytes(chunk_mb: int | None, frame_length: int) -> int:
+    c = DEFAULT_CHUNK if chunk_mb is None else chunk_mb << 20
+    c = max(c, frame_length)
+    return (c // frame_length) * frame_length
+
+
+def compress_fl_stream(input_path: str, output_path: str,
+                       frame_length: int = FRAME_LENGTH,
+                       chunk_mb: int | None = None) -> None:
+    """Stream-compress ``input_path`` → FL container, bounded memory."""
+    chunk = _chunk_bytes(chunk_mb, frame_length)
+    total = os.path.getsize(input_path)
+    bits_parts = []
+    values_size = 0
+    tmp_fd, tmp_path = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(output_path)) or ".",
+        suffix=".flrl.tmp")
+    try:
+        with open(input_path, "rb") as fin, os.fdopen(tmp_fd, "wb") as ftmp:
+            while True:
+                buf = fin.read(chunk)
+                if not buf:
+                    break
+                data = np.frombuffer(buf, np.uint8)
+                bits, values = fl_jax.encode(data, frame_length)
+                bits_parts.append(bits)
+                values.tofile(ftmp)
+                values_size += values.size
+        bits_all = (np.concatenate(bits_parts) if bits_parts
+                    else np.zeros(0, np.uint8))
+        with open(output_path, "wb") as fout:
+            fout.write(_HEADER.pack(total, bits_all.size, values_size))
+            bits_all.tofile(fout)
+            with open(tmp_path, "rb") as ftmp:
+                while True:
+                    blk = ftmp.read(1 << 24)
+                    if not blk:
+                        break
+                    fout.write(blk)
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+
+
+def decompress_fl_stream(input_path: str, output_path: str,
+                         frame_length: int = FRAME_LENGTH,
+                         chunk_mb: int | None = None) -> None:
+    """Stream-decompress an FL container, bounded memory.
+
+    Reads the widths header once (it is ``ceil(n/L)`` bytes — 1/128 of the
+    input), then walks packed bytes chunk by chunk.
+    """
+    chunk = _chunk_bytes(chunk_mb, frame_length)
+    with open(input_path, "rb") as fin:
+        input_size, bits_size, values_size = _HEADER.unpack(
+            fin.read(_HEADER.size))
+        bits_all = np.frombuffer(fin.read(bits_size), np.uint8)
+        frames_per_chunk = chunk // frame_length
+        with open(output_path, "wb") as fout:
+            fstart = 0
+            produced = 0
+            while produced < input_size:
+                nf = min(frames_per_chunk, bits_all.size - fstart)
+                n_out = min(chunk, input_size - produced)
+                b = bits_all[fstart:fstart + nf].astype(np.int64)
+                counts = np.minimum(
+                    n_out - np.arange(nf, dtype=np.int64) * frame_length,
+                    frame_length)
+                vbytes = int(((b * counts + 7) // 8).sum())
+                values = np.frombuffer(fin.read(vbytes), np.uint8)
+                out = fl_jax.decode(n_out, bits_all[fstart:fstart + nf],
+                                    values, frame_length)
+                out.tofile(fout)
+                fstart += nf
+                produced += n_out
+    if produced != input_size:  # pragma: no cover
+        raise IOError("[FileIO] container truncated")
