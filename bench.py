@@ -52,32 +52,31 @@ def main() -> int:
     # FL frames pack at 4 bits.
     host = rng.integers(0, 16, n, np.uint8)
 
-    # Tunnel latency floor: median of tiny fenced ops.
-    tiny = jax.device_put(jnp.arange(128, dtype=jnp.int32))
-    jax.device_get((tiny + 1)[-1])
-    lat_ts = []
-    for _ in range(5):
-        t0 = time.perf_counter()
-        jax.device_get((tiny + 1)[-1])
-        lat_ts.append(time.perf_counter() - t0)
-    lat = float(np.median(lat_ts))
+    lat = 0.030  # nominal tunnel latency, reporting only
 
     def timed(fn, reps, inner=8):
-        """Median of `reps` trials, each `inner` back-to-back dispatches
-        fenced once — resolves per-call device times far below the tunnel
-        latency floor."""
+        """Paired-differencing timing: per trial, measure a batch of
+        ``1`` and a batch of ``1+inner`` back-to-back dispatches (each
+        fenced once); their difference is ``inner`` device executions with
+        the tunnel latency cancelled exactly — a separately-measured floor
+        drifts by milliseconds between runs and over/under-subtracts."""
         out = fn()
         leaf = jax.tree_util.tree_leaves(out)[0]
         jax.device_get(leaf.ravel()[-1])
+
+        def batch(k):
+            t0 = time.perf_counter()
+            for _ in range(k):
+                o = fn()
+            jax.device_get(jax.tree_util.tree_leaves(o)[0].ravel()[-1])
+            return time.perf_counter() - t0
+
         ts = []
         for _ in range(reps):
-            t0 = time.perf_counter()
-            for _ in range(inner):
-                o = fn()
-            leaf = jax.tree_util.tree_leaves(o)[0]
-            jax.device_get(leaf.ravel()[-1])
-            ts.append(time.perf_counter() - t0)
-        return out, max((float(np.median(ts)) - lat) / inner, 1e-9)
+            t1 = batch(1)
+            t2 = batch(1 + inner)
+            ts.append((t2 - t1) / inner)
+        return out, max(float(np.median(ts)), 1e-9)
 
     extra = {}
     if args.method == "fl":
