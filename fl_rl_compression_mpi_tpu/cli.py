@@ -73,6 +73,10 @@ def _parser() -> argparse.ArgumentParser:
                         "of this size (bounded memory for any file size; "
                         "byte-identical output — the reference loads whole "
                         "files)")
+    p.add_argument("--verify", action="store_true",
+                   help="after compressing, decompress the output and "
+                        "byte-compare against the input (round-trip "
+                        "self-check)")
     return p
 
 
@@ -179,6 +183,22 @@ def main(argv=None) -> int:
                 data = load_file(args.input)
                 t.add_transfer_size(data.size)
             _compress(args, data)
+            if args.verify:
+                with timed("verification", nbytes=data.size,
+                           enabled=args.timers):
+                    from .models.registry import resolve
+                    codec = resolve(_resolve(args.method))
+                    comp = (container.load_rl(args.output)
+                            if codec.family == "rl"
+                            else container.load_fl(args.output))
+                    out = codec.decompress(
+                        comp, frame_length=args.frame_length,
+                        devices=args.devices)
+                    if not np.array_equal(out, data):
+                        print("[ERROR] verification failed: round-trip "
+                              "mismatch", file=sys.stderr)
+                        return 1
+                print("[INFO] verification OK", file=sys.stderr)
         else:
             _decompress(args)
     except (OSError, ValueError) as e:

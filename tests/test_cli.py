@@ -75,3 +75,17 @@ def test_custom_frame_length_roundtrip(blob, tmp_path):
     assert main(["c", "fl", src, comp, "--frame-length", "64"]) == 0
     assert main(["d", "fl-cpu", comp, back, "--frame-length", "64"]) == 0
     np.testing.assert_array_equal(np.fromfile(back, np.uint8), data)
+
+
+def test_verify_flag(blob, tmp_path, capsys):
+    src, _ = blob
+    assert main(["c", "fl-cpu", src, str(tmp_path / "v.fl"),
+                 "--verify"]) == 0
+    assert "verification OK" in capsys.readouterr().err
+
+
+def test_verify_flag_rl(blob, tmp_path, capsys):
+    src, _ = blob
+    assert main(["c", "rl-cpu", src, str(tmp_path / "v.rl"),
+                 "--verify"]) == 0
+    assert "verification OK" in capsys.readouterr().err
