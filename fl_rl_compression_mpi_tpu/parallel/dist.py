@@ -46,8 +46,19 @@ AXIS = "dp"
 
 
 def make_mesh(num_devices: int | None = None) -> Mesh:
-    """1-D mesh over the first ``num_devices`` (default: all) local devices."""
+    """1-D mesh over the first ``num_devices`` (default: all) devices."""
     devs = jax.devices()
+    if num_devices is not None:
+        devs = devs[:num_devices]
+    return Mesh(np.asarray(devs), (AXIS,))
+
+
+def make_local_mesh(num_devices: int | None = None) -> Mesh:
+    """1-D mesh over this *process's* devices only.  In a multi-process
+    runtime ``jax.devices()`` is global; per-process work (the multihost
+    driver's local chunk encode, mirroring one MPI rank) must stay on
+    addressable devices or host transfers of the results fail."""
+    devs = jax.local_devices()
     if num_devices is not None:
         devs = devs[:num_devices]
     return Mesh(np.asarray(devs), (AXIS,))

@@ -69,8 +69,9 @@ def compress_fl_file(input_path: str, output_path: str,
         fileio.load_file(input_path).size if nproc == 1
         else _file_size(input_path))
 
-    # Local mesh over this process's chips; encode the local chunk.
-    mesh = dist.make_mesh()
+    # Local mesh over this process's chips; encode the local chunk
+    # (each process is one "MPI rank" — its work must stay addressable).
+    mesh = dist.make_local_mesh()
     comp = dist.compress_fl(np.asarray(data), mesh, frame_length,
                             bucket_frames)
 
@@ -117,7 +118,7 @@ def compress_rl_file(input_path: str, output_path: str,
     nproc = jax.process_count()
     pid = jax.process_index()
     data, _ = fileio.load_file_sharded(input_path, pid, nproc, FRAME_LENGTH)
-    mesh = dist.make_mesh()
+    mesh = dist.make_local_mesh()
     comp = dist.compress_rl(np.asarray(data), mesh, bucket_frames)
 
     sizes = _process_allgather(np.asarray(
@@ -155,6 +156,6 @@ def decompress_fl_file(input_path: str, output_path: str,
     if jax.process_index() != 0:
         return
     comp = container.load_fl(input_path)
-    out = dist.decompress_fl(comp, dist.make_mesh(), frame_length,
+    out = dist.decompress_fl(comp, dist.make_local_mesh(), frame_length,
                              bucket_frames)
     fileio.save_file(output_path, out)

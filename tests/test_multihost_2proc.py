@@ -1,0 +1,64 @@
+"""REAL 2-process multihost test: jax.distributed bootstrap + DCN-style
+payload exchange, on CPU.  This is the closest single-machine analog of the
+reference's multi-node runs (which it could never test) — and it caught a
+real bug: per-process work must use local (addressable) meshes.
+"""
+
+import os
+import socket
+import subprocess
+import sys
+import textwrap
+
+import numpy as np
+import pytest
+
+from fl_rl_compression_mpi_tpu import container
+from fl_rl_compression_mpi_tpu.ops import fl_numpy
+
+WORKER = textwrap.dedent("""
+    import os, sys
+    sys.path.insert(0, {repo!r})
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    import jax
+    pid = int(sys.argv[1]); nproc = int(sys.argv[2]); port = sys.argv[3]
+    jax.distributed.initialize(coordinator_address="localhost:" + port,
+                               num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc
+    from fl_rl_compression_mpi_tpu.parallel import multihost
+    multihost.compress_fl_file(sys.argv[4], sys.argv[5], bucket_frames=16)
+""")
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+@pytest.mark.timeout(300)
+def test_two_process_compress_fl(tmp_path):
+    data = np.random.default_rng(0).integers(0, 32, 128 * 1000 + 77,
+                                             np.uint8)
+    src = str(tmp_path / "in.bin")
+    dst = str(tmp_path / "out.fl")
+    data.tofile(src)
+    worker = str(tmp_path / "worker.py")
+    with open(worker, "w") as f:
+        f.write(WORKER.format(repo=REPO))
+    port = str(_free_port())
+    env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", port, src, dst],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+        text=True) for i in range(2)]
+    outs = [p.communicate(timeout=240)[0] for p in procs]
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-2000:]
+    comp = container.load_fl(dst)
+    bits_g, values_g = fl_numpy.encode(data)
+    np.testing.assert_array_equal(comp.bits, bits_g)
+    np.testing.assert_array_equal(comp.values, values_g)
