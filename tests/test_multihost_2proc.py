@@ -26,7 +26,10 @@ WORKER = textwrap.dedent("""
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     from fl_rl_compression_mpi_tpu.parallel import multihost
-    multihost.compress_fl_file(sys.argv[4], sys.argv[5], bucket_frames=16)
+    if sys.argv[6] == "fl":
+        multihost.compress_fl_file(sys.argv[4], sys.argv[5], bucket_frames=16)
+    else:
+        multihost.compress_rl_file(sys.argv[4], sys.argv[5], bucket_frames=16)
 """)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -38,12 +41,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-@pytest.mark.timeout(300)
-def test_two_process_compress_fl(tmp_path):
-    data = np.random.default_rng(0).integers(0, 32, 128 * 1000 + 77,
-                                             np.uint8)
+def _run_two_proc(tmp_path, data, method):
     src = str(tmp_path / "in.bin")
-    dst = str(tmp_path / "out.fl")
+    dst = str(tmp_path / ("out." + method))
     data.tofile(src)
     worker = str(tmp_path / "worker.py")
     with open(worker, "w") as f:
@@ -52,13 +52,32 @@ def test_two_process_compress_fl(tmp_path):
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", port, src, dst],
+        [sys.executable, worker, str(i), "2", port, src, dst, method],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
     outs = [p.communicate(timeout=240)[0] for p in procs]
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-2000:]
+    return dst
+
+
+@pytest.mark.timeout(300)
+def test_two_process_compress_fl(tmp_path):
+    data = np.random.default_rng(0).integers(0, 32, 128 * 1000 + 77,
+                                             np.uint8)
+    dst = _run_two_proc(tmp_path, data, "fl")
     comp = container.load_fl(dst)
     bits_g, values_g = fl_numpy.encode(data)
     np.testing.assert_array_equal(comp.bits, bits_g)
     np.testing.assert_array_equal(comp.values, values_g)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_compress_rl(tmp_path):
+    from fl_rl_compression_mpi_tpu.ops import rl_numpy
+    data = np.repeat(
+        np.random.default_rng(1).integers(0, 8, 800, np.uint8), 201)
+    dst = _run_two_proc(tmp_path, data, "rl")
+    comp = container.load_rl(dst)
+    np.testing.assert_array_equal(
+        rl_numpy.decode(comp.counts, comp.values), data)
