@@ -44,6 +44,18 @@ from ..ops.fields import fold, unfold
 
 AXIS = "dp"
 
+# jitted shard_map programs, keyed by (mesh, static config) — rebuilding
+# the wrapped function per call would retrace/redispatch every time (a
+# measured 77x slowdown on chip).
+_JIT_CACHE: dict = {}
+
+
+def _cached(key, build):
+    fn = _JIT_CACHE.get(key)
+    if fn is None:
+        fn = _JIT_CACHE[key] = build()
+    return fn
+
 
 def make_mesh(num_devices: int | None = None) -> Mesh:
     """1-D mesh over the first ``num_devices`` (default: all) devices."""
@@ -129,12 +141,16 @@ def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
     ``bits`` is u8[N, Fp] (XLA kernel) or u8[N, rows, fpr] (Pallas) — a
     host ``reshape(-1)`` per shard yields frame order either way.
     """
-    f = jax.shard_map(
-        _fl_local_encode(frame_length), mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(_bits_spec(frame_length, words2d.shape[1]),
-                   P(AXIS, None)), check_vma=False)
-    return jax.jit(f)(words2d, ns)
+    shard_words = words2d.shape[1]
+    fn = _cached(
+        ("fl_enc", mesh, frame_length,
+         fl_jax._use_pallas(frame_length, shard_words)),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_encode(frame_length), mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(_bits_spec(frame_length, shard_words),
+                       P(AXIS, None)), check_vma=False)))
+    return fn(words2d, ns)
 
 
 def _fl_merged_encode(frame_length):
@@ -153,11 +169,14 @@ def _fl_merged_encode(frame_length):
 def fl_compress_merged(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
                        frame_length: int = FRAME_LENGTH):
     """Encode + on-device all-gather; replicated outputs on every chip."""
-    f = jax.shard_map(
-        _fl_merged_encode(frame_length), mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(), P()), check_vma=False)
-    return jax.jit(f)(words2d, ns)
+    fn = _cached(
+        ("fl_merged", mesh, frame_length,
+         fl_jax._use_pallas(frame_length, words2d.shape[1])),
+        lambda: jax.jit(jax.shard_map(
+            _fl_merged_encode(frame_length), mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(), P()), check_vma=False)))
+    return fn(words2d, ns)
 
 
 def _fl_local_decode(frame_length):
@@ -178,11 +197,13 @@ def fl_decompress_sharded(mesh: Mesh, fields2d: jax.Array, bits2d: jax.Array,
     `fl_jax.prep_decode_bits` (so rank is 2 for XLA, 3 for Pallas).
     """
     bits_spec = P(AXIS, *([None] * (bits2d.ndim - 1)))
-    f = jax.shard_map(
-        _fl_local_decode(frame_length), mesh=mesh,
-        in_specs=(P(AXIS, None), bits_spec, P(AXIS)),
-        out_specs=P(AXIS, None), check_vma=False)
-    return jax.jit(f)(fields2d, bits2d, ns)
+    fn = _cached(
+        ("fl_dec", mesh, frame_length, bits2d.ndim),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_decode(frame_length), mesh=mesh,
+            in_specs=(P(AXIS, None), bits_spec, P(AXIS)),
+            out_specs=P(AXIS, None), check_vma=False)))
+    return fn(fields2d, bits2d, ns)
 
 
 # ---------------------------------------------------------------------------
@@ -200,12 +221,14 @@ def rl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array):
     given (data, shard plan).  The reference defines no distributed RL at
     all (RL exists only as a spec), so per-shard-concat is our canonical
     distributed semantics."""
-    f = jax.shard_map(
-        _rl_local_encode, mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS)),
-        out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
-        check_vma=False)
-    return jax.jit(f)(data2d, ns)
+    fn = _cached(
+        ("rl_enc", mesh),
+        lambda: jax.jit(jax.shard_map(
+            _rl_local_encode, mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None), P(AXIS, None), P(AXIS)),
+            check_vma=False)))
+    return fn(data2d, ns)
 
 
 def _rl_local_decode(out_pad):
@@ -217,11 +240,13 @@ def _rl_local_decode(out_pad):
 
 def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
                           out_pad: int):
-    f = jax.shard_map(
-        _rl_local_decode(out_pad), mesh=mesh,
-        in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
-        out_specs=P(AXIS, None), check_vma=False)
-    return jax.jit(f)(counts2d, values2d, nrs, ns)
+    fn = _cached(
+        ("rl_dec", mesh, out_pad),
+        lambda: jax.jit(jax.shard_map(
+            _rl_local_decode(out_pad), mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
+            out_specs=P(AXIS, None), check_vma=False)))
+    return fn(counts2d, values2d, nrs, ns)
 
 
 # ---------------------------------------------------------------------------
