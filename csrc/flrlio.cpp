@@ -184,6 +184,7 @@ int flrl_fl_decode(const uint8_t* bits, int64_t frames,
   for (int64_t f = 0; f < frames; ++f) {
     const int64_t lo = f * frame_len;
     const int64_t hi = lo + frame_len < n ? lo + frame_len : n;
+    if (bits[f] < 1 || bits[f] > 8) { delete[] offs; return -5; }
     offs[f + 1] = offs[f] + (static_cast<int64_t>(bits[f]) * (hi - lo) + 7) / 8;
   }
   if (offs[frames] > values_size) { delete[] offs; return -3; }
@@ -297,19 +298,23 @@ int64_t flrl_fl_fold(const uint32_t* fields, const uint8_t* bits, int64_t n,
 }
 
 // Inverse: dense stream -> fields (zero-filled beyond the tail).  Returns 0.
+// bits_size bounds the widths array (untrusted container input: a header
+// claiming a huge inputSize must not drive reads past the bits buffer).
 int flrl_fl_unfold(const uint8_t* values, int64_t values_size,
-                   const uint8_t* bits, int64_t n, int frame_len,
-                   uint32_t* fields_out) {
+                   const uint8_t* bits, int64_t bits_size, int64_t n,
+                   int frame_len, uint32_t* fields_out) {
   if (n < 0 || frame_len <= 0 || frame_len % 8 != 0) return -1;
   if (n == 0) return 0;
   const int64_t frames = (n + frame_len - 1) / frame_len;
   const int wpf = frame_len / 4;
+  if (frames > bits_size) return -4;
 
   int64_t* offs = new int64_t[frames + 1];
   offs[0] = 0;
   for (int64_t f = 0; f < frames; ++f) {
     const int64_t lo = f * frame_len;
     const int64_t hi = lo + frame_len < n ? lo + frame_len : n;
+    if (bits[f] < 1 || bits[f] > 8) { delete[] offs; return -5; }
     offs[f + 1] =
         offs[f] + (static_cast<int64_t>(bits[f]) * (hi - lo) + 7) / 8;
   }

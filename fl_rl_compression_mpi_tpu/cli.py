@@ -176,6 +176,15 @@ def main(argv=None) -> int:
                     stream.decompress_fl_stream(
                         args.input, args.output, args.frame_length,
                         args.stream_chunk_mb)
+            if args.operation == "c" and args.verify:
+                with timed("verification", enabled=args.timers):
+                    if not stream.verify_fl_stream(
+                            args.input, args.output, args.frame_length,
+                            args.stream_chunk_mb):
+                        print("[ERROR] verification failed: round-trip "
+                              "mismatch", file=sys.stderr)
+                        return 1
+                print("[INFO] verification OK", file=sys.stderr)
             return 0
         if args.operation == "c":
             with timed("loading input", enabled=args.timers) as t:

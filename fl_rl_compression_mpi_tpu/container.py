@@ -106,6 +106,10 @@ def load_rl(path: str) -> RLCompressed:
     with open(path, "rb") as f:
         input_size, counts_size, values_size = _HEADER.unpack(
             _read_exact(f, _HEADER.size))
+        if counts_size != values_size:
+            raise IOError(
+                "[FileIO] corrupt RL container: counts/values size "
+                f"mismatch ({counts_size} != {values_size})")
         counts = np.frombuffer(_read_exact(f, counts_size), np.uint8)
         values = np.frombuffer(_read_exact(f, values_size), np.uint8)
     return RLCompressed(counts=counts, values=values, input_size=input_size)

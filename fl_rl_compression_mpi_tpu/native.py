@@ -58,7 +58,8 @@ class Native:
                                      ctypes.c_int, _u8p]
         lib.flrl_fl_unfold.restype = ctypes.c_int
         lib.flrl_fl_unfold.argtypes = [_u8p, ctypes.c_int64, _u8p,
-                                       ctypes.c_int64, ctypes.c_int, _u32p]
+                                       ctypes.c_int64, ctypes.c_int64,
+                                       ctypes.c_int, _u32p]
         lib.flrl_rl_encode.restype = ctypes.c_int64
         lib.flrl_rl_encode.argtypes = [_u8p, ctypes.c_int64, _u8p, _u8p]
         lib.flrl_rl_decode.restype = ctypes.c_int64
@@ -145,9 +146,13 @@ class Native:
         if n == 0:
             return np.zeros(0, np.uint32)
         frames = -(-n // frame_length)
+        if bits.size < frames:
+            raise ValueError(
+                "fl_unfold: corrupt container (bits array shorter than "
+                f"frame count: {bits.size} < {frames})")
         fields = np.empty(frames * (frame_length // 4), np.uint32)
-        rc = self._lib.flrl_fl_unfold(values, values.size, bits, n,
-                                      frame_length, fields)
+        rc = self._lib.flrl_fl_unfold(values, values.size, bits, bits.size,
+                                      n, frame_length, fields)
         if rc != 0:
             raise ValueError(f"fl_unfold: corrupt stream (rc={rc})")
         return fields
@@ -165,6 +170,10 @@ class Native:
     def rl_decode(self, counts: np.ndarray, values: np.ndarray) -> np.ndarray:
         counts = np.ascontiguousarray(counts, np.uint8)
         values = np.ascontiguousarray(values, np.uint8)
+        if counts.size != values.size:
+            raise ValueError(
+                "rl_decode: corrupt container (counts/values length "
+                f"mismatch: {counts.size} != {values.size})")
         cap = int(counts.astype(np.int64).sum())
         out = np.empty(cap, np.uint8)
         n = self._lib.flrl_rl_decode(counts, values, counts.size, out, cap)
@@ -195,8 +204,11 @@ def get_native() -> Native | None:
         _TRIED = True
         if os.environ.get("FLRL_NO_NATIVE"):
             return None
-        if not os.path.exists(_SO_PATH) and os.path.exists(_SRC_PATH):
-            if not _build():
+        if os.path.exists(_SRC_PATH):
+            stale = (not os.path.exists(_SO_PATH)
+                     or os.path.getmtime(_SO_PATH)
+                     < os.path.getmtime(_SRC_PATH))
+            if stale and not _build():
                 return None
         try:
             _NATIVE = Native(ctypes.CDLL(_SO_PATH))

@@ -65,9 +65,7 @@ def compress_fl_file(input_path: str, output_path: str,
 
     # Rank's chunk of the shared file (frame-aligned reference split).
     data, _ = fileio.load_file_sharded(input_path, pid, nproc, frame_length)
-    total_size = np.int64(
-        fileio.load_file(input_path).size if nproc == 1
-        else _file_size(input_path))
+    total_size = np.int64(_file_size(input_path))
 
     # Local mesh over this process's chips; encode the local chunk
     # (each process is one "MPI rank" — its work must stay addressable).

@@ -74,6 +74,34 @@ def compress_fl_stream(input_path: str, output_path: str,
             os.unlink(tmp_path)
 
 
+def verify_fl_stream(input_path: str, container_path: str,
+                     frame_length: int = FRAME_LENGTH,
+                     chunk_mb: int | None = None) -> bool:
+    """Round-trip self-check for the streaming path (bounded memory):
+    stream-decompress ``container_path`` to a temp file and byte-compare
+    against ``input_path`` chunk by chunk."""
+    tmp_fd, tmp_path = tempfile.mkstemp(
+        dir=os.path.dirname(os.path.abspath(container_path)) or ".",
+        suffix=".flrl.verify")
+    os.close(tmp_fd)
+    try:
+        decompress_fl_stream(container_path, tmp_path, frame_length,
+                             chunk_mb)
+        if os.path.getsize(tmp_path) != os.path.getsize(input_path):
+            return False
+        with open(input_path, "rb") as fa, open(tmp_path, "rb") as fb:
+            while True:
+                a = fa.read(1 << 24)
+                b = fb.read(1 << 24)
+                if a != b:
+                    return False
+                if not a:
+                    return True
+    finally:
+        if os.path.exists(tmp_path):
+            os.unlink(tmp_path)
+
+
 def decompress_fl_stream(input_path: str, output_path: str,
                          frame_length: int = FRAME_LENGTH,
                          chunk_mb: int | None = None) -> None:

@@ -30,10 +30,35 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import signal
+
 import numpy as np
 import pytest
 
 REFERENCE_BMP = "/root/reference/example_input/sample_1280×853.bmp"
+
+
+@pytest.hookimpl(hookwrapper=True)
+def pytest_runtest_call(item):
+    """Enforce @pytest.mark.timeout(N) with SIGALRM (pytest-timeout is not
+    baked into the image; without this the marks are silently inert)."""
+    mark = item.get_closest_marker("timeout")
+    if mark and mark.args and hasattr(signal, "SIGALRM"):
+        seconds = float(mark.args[0])
+
+        def _on_alarm(signum, frame):
+            raise TimeoutError(
+                f"test exceeded its {seconds:.0f}s timeout mark")
+
+        prev = signal.signal(signal.SIGALRM, _on_alarm)
+        signal.setitimer(signal.ITIMER_REAL, seconds)
+        try:
+            yield
+        finally:
+            signal.setitimer(signal.ITIMER_REAL, 0)
+            signal.signal(signal.SIGALRM, prev)
+    else:
+        yield
 
 
 @pytest.fixture(scope="session")

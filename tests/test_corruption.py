@@ -59,6 +59,60 @@ def test_native_unfold_rejects_short_stream(fl_file):
         nat.fl_unfold(comp.values[:-5], comp.bits, int(comp.input_size))
 
 
+def test_native_unfold_rejects_oversized_input_claim(fl_file):
+    """A header claiming an inputSize far beyond the bits array must raise,
+    not read out of bounds (round-1 advisor finding: 8 GB claim over a
+    10-byte bits array segfaulted)."""
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native unavailable")
+    p, _ = fl_file
+    comp = container.load_fl(p)
+    with pytest.raises(ValueError):
+        nat.fl_unfold(comp.values, comp.bits, 8 << 30)
+
+
+def test_cli_oversized_input_claim_tagged_error(fl_file, tmp_path, capsys):
+    p, _ = fl_file
+    comp = container.load_fl(p)
+    q = str(tmp_path / "huge.fl")
+    container.save_fl(q, container.FLCompressed(
+        comp.bits[:10], comp.values, 8 << 30))
+    rc = main(["d", "fl", q, str(tmp_path / "out.bin")])
+    assert rc == 1
+    assert "[ERROR]" in capsys.readouterr().err
+
+
+def test_native_unfold_rejects_bad_width_byte(fl_file):
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native unavailable")
+    p, _ = fl_file
+    comp = container.load_fl(p)
+    bad = comp.bits.copy()
+    bad[0] = 200   # width must be 1..8; 4*200 would be a UB shift
+    with pytest.raises(ValueError):
+        nat.fl_unfold(comp.values, bad, int(comp.input_size))
+
+
+def test_native_rl_decode_rejects_length_mismatch():
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native unavailable")
+    with pytest.raises(ValueError):
+        nat.rl_decode(np.full(10, 5, np.uint8), np.full(4, 7, np.uint8))
+
+
+def test_load_rl_rejects_size_mismatch(tmp_path):
+    from fl_rl_compression_mpi_tpu.container import _HEADER
+    p = str(tmp_path / "bad.rl")
+    with open(p, "wb") as f:
+        f.write(_HEADER.pack(100, 10, 4))
+        f.write(b"\x05" * 10 + b"\x07" * 4)
+    with pytest.raises(IOError):
+        container.load_rl(p)
+
+
 def test_empty_container_roundtrip(tmp_path):
     p = str(tmp_path / "e.fl")
     container.save_fl(p, container.FLCompressed(

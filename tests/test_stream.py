@@ -74,3 +74,21 @@ def test_stream_rejects_rl(tmp_path, capsys):
     np.zeros(10, np.uint8).tofile(src)
     assert main(["c", "rl", src, str(tmp_path / "x.rl"),
                  "--stream-chunk-mb", "1"]) == 2
+
+
+def test_stream_cli_verify(tmp_path, capsys):
+    data = np.random.default_rng(3).integers(0, 32, 300_000, np.uint8)
+    src = str(tmp_path / "in.bin")
+    data.tofile(src)
+    comp = str(tmp_path / "o.fl")
+    assert main(["c", "fl", src, comp, "--stream-chunk-mb", "1",
+                 "--verify"]) == 0
+    assert "verification OK" in capsys.readouterr().err
+    # corrupting the container makes --verify fail with a tagged error
+    blob = bytearray(open(comp, "rb").read())
+    blob[-1] ^= 0xFF
+    bad_src = str(tmp_path / "in2.bin")
+    data.tofile(bad_src)
+    open(comp, "wb").write(bytes(blob))
+    from fl_rl_compression_mpi_tpu import stream
+    assert not stream.verify_fl_stream(bad_src, comp, 128, 1)
