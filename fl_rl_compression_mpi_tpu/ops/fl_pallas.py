@@ -74,23 +74,23 @@ def _frame_widths_mxu(wq: jax.Array, wpf: int):
     return b_fpr, b_lane
 
 
-def _tail_mask(n: jax.Array, base: jax.Array) -> jax.Array:
+def _tail_mask(n: jax.Array, base: jax.Array, tile_r: int) -> jax.Array:
     """u32 byte-validity mask for the tile's words (word index base+iota)."""
-    widx = base + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 0) \
-        * LANES + jax.lax.broadcasted_iota(jnp.int32, (TILE_R, LANES), 1)
+    widx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 0) \
+        * LANES + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 1)
     rem = jnp.clip(n - widx * 4, 0, 4)
-    m = jnp.zeros((TILE_R, LANES), jnp.uint32)
+    m = jnp.zeros((tile_r, LANES), jnp.uint32)
     for k, mk in ((1, 0xFF), (2, 0xFFFF), (3, 0xFFFFFF), (4, 0xFFFFFFFF)):
         m = jnp.where(rem == k, jnp.uint32(mk), m)
     return m
 
 
-def _encode_kernel(wpf: int):
+def _encode_kernel(wpf: int, tile_r: int):
     def kernel(n_ref, w_ref, fields_ref, bits_ref):
         i = pl.program_id(0)
         n = n_ref[0, 0]
         w = w_ref[...].astype(jnp.uint32)
-        w = w & _tail_mask(n, i * TILE_WORDS)
+        w = w & _tail_mask(n, i * tile_r * LANES, tile_r)
 
         o = w | (w >> 8)
         o = (o | (o >> 16)) & jnp.uint32(0xFF)
@@ -110,7 +110,7 @@ def _encode_kernel(wpf: int):
     return kernel
 
 
-def _decode_kernel(wpf: int):
+def _decode_kernel(wpf: int, tile_r: int):
     fpr = LANES // wpf
 
     def kernel(n_ref, f_ref, bits_ref, out_ref):
@@ -132,7 +132,7 @@ def _decode_kernel(wpf: int):
         w = ((f & mask) | (((f >> b) & mask) << 8)
              | (((f >> (2 * b)) & mask) << 16)
              | (((f >> (3 * b)) & mask) << 24))
-        out_ref[...] = w & _tail_mask(n, i * TILE_WORDS)
+        out_ref[...] = w & _tail_mask(n, i * tile_r * LANES, tile_r)
     return kernel
 
 
@@ -145,9 +145,10 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("frame_length",))
+@functools.partial(jax.jit, static_argnames=("frame_length", "tile_r"))
 def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
-                            frame_length: int = FRAME_LENGTH):
+                            frame_length: int = FRAME_LENGTH,
+                            tile_r: int | None = None):
     """Pallas field encode.  ``words`` u32[NW], NW a tile multiple.
 
     Returns ``(bits2d u8[rows, 128/wpf], fields u32[NW])``.  ``bits2d``
@@ -156,66 +157,73 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
     a scalar-core relayout (hundreds of ms — experiments/FINDINGS.md).
     Flatten on host: ``np.asarray(bits2d).reshape(-1)[:frames]``.
     """
+    tile_r = TILE_R if tile_r is None else tile_r
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
     nw = words.shape[0]
-    assert nw % TILE_WORDS == 0, "pad to a tile multiple"
-    grid = nw // TILE_WORDS
+    assert nw % (tile_r * LANES) == 0, "pad to a tile multiple"
+    grid = nw // (tile_r * LANES)
     fpr = LANES // wpf
     n2 = jnp.asarray(n, jnp.int32).reshape(1, 1)
 
     fields, bits2d = pl.pallas_call(
-        _encode_kernel(wpf),
+        _encode_kernel(wpf, tile_r),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, fpr), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, fpr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nw // LANES, fpr), jnp.uint8),
         ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(n2, words.reshape(nw // LANES, LANES))
     return bits2d, fields.reshape(-1)
 
 
-@functools.partial(jax.jit, static_argnames=("frame_length",))
+@functools.partial(jax.jit, static_argnames=("frame_length", "tile_r"))
 def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
                             n: jax.Array,
-                            frame_length: int = FRAME_LENGTH) -> jax.Array:
+                            frame_length: int = FRAME_LENGTH,
+                            tile_r: int | None = None) -> jax.Array:
     """Pallas field decode: fields u32[NW] + bits2d u8[rows, 128/wpf]
     (frame widths in row-major frame order — reshape flat host bits with
     NumPy, never on device) → words u32[NW]."""
+    tile_r = TILE_R if tile_r is None else tile_r
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
     nw = fields.shape[0]
-    assert nw % TILE_WORDS == 0
+    assert nw % (tile_r * LANES) == 0
     fpr = LANES // wpf
     assert bits2d.shape == (nw // LANES, fpr), bits2d.shape
-    grid = nw // TILE_WORDS
+    grid = nw // (tile_r * LANES)
     n2 = jnp.asarray(n, jnp.int32).reshape(1, 1)
 
     out = pl.pallas_call(
-        _decode_kernel(wpf),
+        _decode_kernel(wpf, tile_r),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
-            pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_R, fpr), lambda i: (i, 0),
+            pl.BlockSpec((tile_r, fpr), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((TILE_R, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(n2, fields.reshape(nw // LANES, LANES), bits2d)
     return out.reshape(-1)
