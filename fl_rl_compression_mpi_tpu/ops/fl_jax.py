@@ -144,6 +144,17 @@ def fl_decode_fields(fields: jax.Array, bits: jax.Array, n: jax.Array,
 # Host-facing whole-array APIs (pad → device kernel → host fold/unfold).
 # ---------------------------------------------------------------------------
 
+# Single device dispatch cap: index math inside the kernels is int32 (the
+# design cap documented above).  Larger inputs are processed in
+# frame-aligned chunks — byte-identical output by the frame-alignment
+# invariant (SURVEY.md finding #3) — instead of replicating the
+# reference's >2 GB overflow crash (file_io.cu:46-51) in spirit.
+MAX_DEVICE_CHUNK = 1 << 30
+
+
+def _device_cap(frame_length: int) -> int:
+    return (MAX_DEVICE_CHUNK // frame_length) * frame_length
+
 def pad_to_frames(n: int, frame_length: int = FRAME_LENGTH,
                   bucket: int = 1) -> int:
     """Static padded size for an ``n``-byte input: a frame multiple, rounded
@@ -205,6 +216,14 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     n = data.size
     if n == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    cap = _device_cap(frame_length)
+    if n > cap:
+        bits_parts, values_parts = [], []
+        for off in range(0, n, cap):
+            b, v = encode(data[off:off + cap], frame_length, bucket_frames)
+            bits_parts.append(b)
+            values_parts.append(v)
+        return np.concatenate(bits_parts), np.concatenate(values_parts)
     npad = pad_to_frames(n, frame_length, bucket_frames)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
@@ -230,6 +249,25 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     n = int(output_size)
     if n == 0 or bits.size == 0:
         return np.zeros(0, np.uint8)
+    cap = _device_cap(frame_length)
+    if n > cap:
+        # per-chunk value offsets from the widths header (the same
+        # scan the reference decoder runs, fl_gpu.cu:596-601)
+        frames = -(-n // frame_length)
+        counts = np.minimum(
+            n - np.arange(frames, dtype=np.int64) * frame_length,
+            frame_length)
+        fbytes = (bits[:frames].astype(np.int64) * counts + 7) // 8
+        voffs = np.concatenate([[0], np.cumsum(fbytes)])
+        fpc = cap // frame_length
+        parts = []
+        for off in range(0, n, cap):
+            f0 = off // frame_length
+            f1 = min(f0 + fpc, frames)
+            parts.append(decode(
+                min(cap, n - off), bits[f0:f1],
+                values[voffs[f0]:voffs[f1]], frame_length, bucket_frames))
+        return np.concatenate(parts)
     fields_h = unfold(values, bits, n, frame_length)
     npad = pad_to_frames(n, frame_length, bucket_frames)
     fpad = npad // frame_length

@@ -253,6 +253,14 @@ def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
 # Host-facing whole-file API (single host, N local chips).
 # ---------------------------------------------------------------------------
 
+def _superchunks(total: int, n_dev: int, frame_length: int):
+    """Outer frame-aligned chunking when per-shard sizes would exceed the
+    int32 device cap (the reference instead overflows and corrupts,
+    file_io.cu:46-51).  Returns the chunk step, or None if one pass fits."""
+    step = n_dev * fl_jax._device_cap(frame_length)
+    return step if total > step else None
+
+
 def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
                 frame_length: int = FRAME_LENGTH,
                 bucket_frames: int = 8192) -> FLCompressed:
@@ -261,6 +269,12 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
         return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    step = _superchunks(data.size, n_dev, frame_length)
+    if step:
+        parts = [compress_fl(data[o:o + step], mesh, frame_length,
+                             bucket_frames)
+                 for o in range(0, data.size, step)]
+        return parts[0].merge(*parts[1:])
     plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
     words2d = shard_host_data(data, plan).view(np.uint32)
     bits, fields = jax.device_get(fl_compress_sharded(
@@ -293,6 +307,12 @@ def compress_fl_ici(data: np.ndarray, mesh: Mesh | None = None,
         return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    step = _superchunks(data.size, n_dev, frame_length)
+    if step:
+        parts = [compress_fl_ici(data[o:o + step], mesh, frame_length,
+                                 bucket_frames)
+                 for o in range(0, data.size, step)]
+        return parts[0].merge(*parts[1:])
     plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
     words2d = shard_host_data(data, plan).view(np.uint32)
     bits_g, fields_g = jax.device_get(fl_compress_merged(
@@ -319,6 +339,25 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         return np.zeros(0, np.uint8)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    step = _superchunks(n, n_dev, frame_length)
+    if step:
+        frames = -(-n // frame_length)
+        counts = np.minimum(
+            n - np.arange(frames, dtype=np.int64) * frame_length,
+            frame_length)
+        fbytes = (comp.bits[:frames].astype(np.int64) * counts + 7) // 8
+        voffs = np.concatenate([[0], np.cumsum(fbytes)])
+        fpc = step // frame_length
+        parts = []
+        for off in range(0, n, step):
+            f0 = off // frame_length
+            f1 = min(f0 + fpc, frames)
+            sub = FLCompressed(comp.bits[f0:f1],
+                               comp.values[voffs[f0]:voffs[f1]],
+                               min(step, n - off))
+            parts.append(decompress_fl(sub, mesh, frame_length,
+                                       bucket_frames))
+        return np.concatenate(parts)
     plan = plan_shards(n, n_dev, frame_length, bucket_frames)
     wpf = frame_length // 4
     # Host unfold (cheap memcpy-class pass), then sharded device decode.
