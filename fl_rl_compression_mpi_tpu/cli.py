@@ -77,7 +77,38 @@ def _parser() -> argparse.ArgumentParser:
                    help="after compressing, decompress the output and "
                         "byte-compare against the input (round-trip "
                         "self-check)")
+    p.add_argument("--coordinator", metavar="HOST:PORT", default=None,
+                   help="multi-host mode: jax.distributed coordinator "
+                        "address (the reference's mpirun analog; pair "
+                        "with --num-processes/--process-id)")
+    p.add_argument("--num-processes", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
     return p
+
+
+def _run_multihost(args) -> int:
+    """Multi-host driver: every process runs this same CLI (one per host,
+    like one MPI rank per node); process 0 writes the output.  Uses the
+    rank-ordered streaming merge (bounded memory) — see
+    parallel/multihost.py."""
+    from .parallel import multihost
+    multihost.init_distributed(args.coordinator, args.num_processes,
+                               args.process_id)
+    method = _resolve(args.method)
+    family = "rl" if method.startswith("rl") else "fl"
+    if args.operation == "c":
+        if family == "fl":
+            multihost.compress_fl_file(args.input, args.output,
+                                       args.frame_length)
+        else:
+            multihost.compress_rl_file(args.input, args.output)
+    else:
+        if family == "fl":
+            multihost.decompress_fl_file(args.input, args.output,
+                                         args.frame_length)
+        else:
+            multihost.decompress_rl_file(args.input, args.output)
+    return 0
 
 
 def _resolve(method: str) -> str:
@@ -159,6 +190,8 @@ def main(argv=None) -> int:
         except Exception as e:  # pragma: no cover
             print(f"[INFO] backend unavailable: {e}", file=sys.stderr)
     try:
+        if args.coordinator is not None:
+            return _run_multihost(args)
         if args.stream_chunk_mb is not None:
             if not _resolve(args.method).startswith("fl"):
                 print("[ERROR] --stream-chunk-mb supports FL methods only",

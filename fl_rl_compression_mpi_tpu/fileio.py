@@ -51,6 +51,19 @@ def load_file_sharded(path: str, shard: int, num_shards: int,
         return np.frombuffer(f.read(length), np.uint8), off
 
 
+def load_range(path: str, off: int, length: int) -> np.ndarray:
+    """Read ``[off, off+length)`` of a file (multi-host processes pull only
+    their own container/input slices — nothing reads O(total) remotely)."""
+    if length <= 0:
+        return np.zeros(0, np.uint8)
+    nat = get_native()
+    if nat is not None:
+        return nat.read_range(path, off, length)
+    with open(path, "rb") as f:
+        f.seek(off)
+        return np.frombuffer(f.read(length), np.uint8)
+
+
 def save_file(path: str, data: np.ndarray) -> None:
     data = np.ascontiguousarray(data, np.uint8)
     nat = get_native()

@@ -74,48 +74,37 @@ def _frame_widths_mxu(wq: jax.Array, wpf: int):
     return b_fpr, b_lane
 
 
-def _tail_mask(n: jax.Array, base: jax.Array, tile_r: int) -> jax.Array:
-    """u32 byte-validity mask for the tile's words (word index base+iota)."""
-    widx = base + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 0) \
-        * LANES + jax.lax.broadcasted_iota(jnp.int32, (tile_r, LANES), 1)
-    rem = jnp.clip(n - widx * 4, 0, 4)
-    m = jnp.zeros((tile_r, LANES), jnp.uint32)
-    for k, mk in ((1, 0xFF), (2, 0xFFFF), (3, 0xFFFFFF), (4, 0xFFFFFFFF)):
-        m = jnp.where(rem == k, jnp.uint32(mk), m)
-    return m
-
-
-def _encode_kernel(wpf: int, tile_r: int):
-    def kernel(n_ref, w_ref, fields_ref, bits_ref):
-        i = pl.program_id(0)
-        n = n_ref[0, 0]
+def _encode_kernel(wpf: int):
+    """Input contract: bytes beyond the true length ``n`` are ZERO (every
+    host wrapper zero-pads its staging buffer), so no per-word tail mask
+    is needed — zero padding cannot inflate the last real frame's width,
+    and pad frames' widths/fields are discarded on host.  Dropping the
+    mask removes ~15 VPU ops/word; the masked kernel measured
+    compute-bound at 257 GB/s vs a 455 GB/s copy ceiling (exp6)."""
+    def kernel(w_ref, fields_ref, bits_ref):
         w = w_ref[...].astype(jnp.uint32)
-        w = w & _tail_mask(n, i * tile_r * LANES, tile_r)
-
         o = w | (w >> 8)
         o = (o | (o >> 16)) & jnp.uint32(0xFF)
         wq = _word_widths_f32exp(o)
         b_fpr, b_lane = _frame_widths_mxu(wq, wpf)
         bits_ref[...] = b_fpr.astype(jnp.uint8)
 
-        # Spread via multiply (m = 2^b): adds are exact ORs because the
-        # contributions occupy disjoint bit ranges.
+        # Spread via Horner multiply (m = 2^b): adds are exact ORs because
+        # the contributions occupy disjoint bit ranges.
         m = jnp.uint32(1) << b_lane.astype(jnp.uint32)
-        m2 = m * m
-        e1 = (w >> 8) & jnp.uint32(0xFF)
-        e2 = (w >> 16) & jnp.uint32(0xFF)
-        e3 = w >> 24
-        fields_ref[...] = ((w & jnp.uint32(0xFF)) + e1 * m + e2 * m2
-                           + e3 * m2 * m)
+        r = w >> 24
+        r = r * m + ((w >> 16) & jnp.uint32(0xFF))
+        r = r * m + ((w >> 8) & jnp.uint32(0xFF))
+        fields_ref[...] = r * m + (w & jnp.uint32(0xFF))
     return kernel
 
 
-def _decode_kernel(wpf: int, tile_r: int):
+def _decode_kernel(wpf: int):
+    """Output contract: bytes beyond ``n`` are unspecified (callers slice
+    ``[:n]`` on host) — no tail mask, same rationale as the encoder."""
     fpr = LANES // wpf
 
-    def kernel(n_ref, f_ref, bits_ref, out_ref):
-        i = pl.program_id(0)
-        n = n_ref[0, 0]
+    def kernel(f_ref, bits_ref, out_ref):
         f = f_ref[...].astype(jnp.uint32)
         # Widths arrive compact (R, fpr); broadcast to lanes on the MXU
         # (a flat->padded reshape outside the kernel would be a
@@ -129,10 +118,11 @@ def _decode_kernel(wpf: int, tile_r: int):
                     preferred_element_type=jnp.float32).astype(
                         jnp.int32).astype(jnp.uint32)
         mask = (jnp.uint32(1) << b) - jnp.uint32(1)
-        w = ((f & mask) | (((f >> b) & mask) << 8)
-             | (((f >> (2 * b)) & mask) << 16)
-             | (((f >> (3 * b)) & mask) << 24))
-        out_ref[...] = w & _tail_mask(n, i * tile_r * LANES, tile_r)
+        s1 = f >> b
+        s2 = s1 >> b
+        s3 = s2 >> b
+        out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
+                        | ((s2 & mask) << 16) | ((s3 & mask) << 24))
     return kernel
 
 
@@ -149,7 +139,9 @@ def _interpret() -> bool:
 def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
                             frame_length: int = FRAME_LENGTH,
                             tile_r: int | None = None):
-    """Pallas field encode.  ``words`` u32[NW], NW a tile multiple.
+    """Pallas field encode.  ``words`` u32[NW], NW a tile multiple; bytes
+    beyond ``n`` MUST be zero (all host wrappers zero-pad — the kernel
+    carries no tail mask).
 
     Returns ``(bits2d u8[rows, 128/wpf], fields u32[NW])``.  ``bits2d``
     holds the per-frame widths in row-major frame order; it stays 2-D
@@ -157,6 +149,7 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
     a scalar-core relayout (hundreds of ms — experiments/FINDINGS.md).
     Flatten on host: ``np.asarray(bits2d).reshape(-1)[:frames]``.
     """
+    del n  # kept in the signature for API stability; see input contract
     tile_r = TILE_R if tile_r is None else tile_r
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
@@ -164,13 +157,11 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
     assert nw % (tile_r * LANES) == 0, "pad to a tile multiple"
     grid = nw // (tile_r * LANES)
     fpr = LANES // wpf
-    n2 = jnp.asarray(n, jnp.int32).reshape(1, 1)
 
     fields, bits2d = pl.pallas_call(
-        _encode_kernel(wpf, tile_r),
+        _encode_kernel(wpf),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -185,9 +176,9 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
             jax.ShapeDtypeStruct((nw // LANES, fpr), jnp.uint8),
         ],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(n2, words.reshape(nw // LANES, LANES))
+    )(words.reshape(nw // LANES, LANES))
     return bits2d, fields.reshape(-1)
 
 
@@ -198,7 +189,9 @@ def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
                             tile_r: int | None = None) -> jax.Array:
     """Pallas field decode: fields u32[NW] + bits2d u8[rows, 128/wpf]
     (frame widths in row-major frame order — reshape flat host bits with
-    NumPy, never on device) → words u32[NW]."""
+    NumPy, never on device) → words u32[NW].  Bytes beyond ``n`` in the
+    output are unspecified (callers slice ``[:n]`` on host)."""
+    del n  # see output contract
     tile_r = TILE_R if tile_r is None else tile_r
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
@@ -207,13 +200,11 @@ def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
     fpr = LANES // wpf
     assert bits2d.shape == (nw // LANES, fpr), bits2d.shape
     grid = nw // (tile_r * LANES)
-    n2 = jnp.asarray(n, jnp.int32).reshape(1, 1)
 
     out = pl.pallas_call(
-        _decode_kernel(wpf, tile_r),
+        _decode_kernel(wpf),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_r, fpr), lambda i: (i, 0),
@@ -223,9 +214,9 @@ def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",)),
+            dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(n2, fields.reshape(nw // LANES, LANES), bits2d)
+    )(fields.reshape(nw // LANES, LANES), bits2d)
     return out.reshape(-1)
 
 

@@ -13,25 +13,42 @@ TPU-native, the same roles map to:
   host's local chips;
 * metadata exchange (the reference's ``MPI_Allgather`` of sizes,
   ``fl_gpu.cu:101-106``) → ``multihost_utils.process_allgather`` over DCN;
-* payload gather → host 0 pulls each process's compressed slice via a
-  process-level allgather of the (worst-case padded) payload, then writes
-  the container in rank order — concatenation is lossless because every
-  chunk boundary is a frame multiple (SURVEY.md finding #3).
+* payload gather → **rank-ordered streaming**: only the three sizes are
+  exchanged up front; the payloads then travel in bounded fixed-size
+  rounds, and host 0 ``pwrite``s each rank's piece at its precomputed
+  container offset.  This is the reference's size-exchange +
+  offset-compaction pattern (``fl_gpu.cu:101-106,217-241``) *minus* the
+  max-padded full-payload AllGather — peak per-process memory is
+  O(num_processes × chunk), not O(total compressed size), so the 64 GB
+  BASELINE config fits (the round-1 design allgathered whole payloads and
+  could not).
 
-Single-process degenerate behavior is identical to `dist.compress_fl`,
-which is what the test suite pins; multi-process paths follow the same code
-shape and are exercised by the driver's dry-run compile.
+Decompression is also distributed across hosts (the reference has none,
+``main.cu:131-169``): every process decodes its frame range — offsets
+recovered from the widths header — and streams decoded bytes to host 0,
+which writes them at the range's file offset.
+
+Single-process degenerate behavior is identical to ``dist.compress_fl``,
+which the test suite pins; 2-process paths are exercised for real by
+``tests/test_multihost_2proc.py``.
 """
 
 from __future__ import annotations
+
+import os
 
 import numpy as np
 
 import jax
 
 from .. import container, fileio
+from ..container import _HEADER
 from ..ops.bitpack import FRAME_LENGTH
 from . import dist
+
+# Fixed per-round payload size for the streaming merge.  Per-process peak
+# is num_processes × chunk (the gathered round), tunable via env.
+STREAM_CHUNK = int(os.environ.get("FLRL_DCN_CHUNK_MB", "16")) << 20
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -47,7 +64,7 @@ def init_distributed(coordinator_address: str | None = None,
 
 
 def _process_allgather(x: np.ndarray) -> np.ndarray:
-    """Allgather a small host array across processes (DCN metadata path).
+    """Allgather a host array across processes (DCN metadata path).
     Single-process: returns ``x[None]``."""
     if jax.process_count() == 1:
         return np.asarray(x)[None]
@@ -55,11 +72,47 @@ def _process_allgather(x: np.ndarray) -> np.ndarray:
     return np.asarray(multihost_utils.process_allgather(x))
 
 
+def _stream_to_host0(payload: np.ndarray, sizes: np.ndarray, write_piece,
+                     chunk: int = 0) -> None:
+    """Move every process's ``payload`` (``sizes[pid]`` valid bytes) to
+    host 0 in bounded fixed-size rounds.
+
+    Round ``k`` allgathers bytes ``[k·chunk, (k+1)·chunk)`` of every
+    process's payload; host 0 calls ``write_piece(rank, pos, piece)`` for
+    each rank's live bytes.  All processes run every round (the collective
+    is cohort-wide), so memory stays O(P·chunk) everywhere and ordering
+    is deterministic.
+    """
+    chunk = chunk or STREAM_CHUNK
+    pid = jax.process_index()
+    nproc = jax.process_count()
+    rounds = int(-(-int(sizes.max()) // chunk)) if sizes.max() else 0
+    buf = np.zeros(chunk, np.uint8)
+    my = int(sizes[pid])
+    for k in range(rounds):
+        lo = k * chunk
+        ln = max(0, min(chunk, my - lo))
+        buf[:ln] = payload[lo:lo + ln]
+        if ln < chunk:
+            buf[ln:] = 0
+        gathered = _process_allgather(buf)
+        if pid == 0:
+            for p in range(nproc):
+                pl = max(0, min(chunk, int(sizes[p]) - lo))
+                if pl:
+                    write_piece(p, lo, gathered[p, :pl])
+
+
+def _pwrite(fd: int, off: int, data: np.ndarray) -> None:
+    os.pwrite(fd, memoryview(np.ascontiguousarray(data)), off)
+
+
 def compress_fl_file(input_path: str, output_path: str,
                      frame_length: int = FRAME_LENGTH,
-                     bucket_frames: int = 8192) -> None:
+                     bucket_frames: int = 8192,
+                     chunk: int = 0) -> None:
     """Compress a shared input file across all hosts/chips; process 0
-    writes the container."""
+    writes the container (rank-ordered streaming merge, bounded memory)."""
     nproc = jax.process_count()
     pid = jax.process_index()
 
@@ -73,87 +126,206 @@ def compress_fl_file(input_path: str, output_path: str,
     comp = dist.compress_fl(np.asarray(data), mesh, frame_length,
                             bucket_frames)
 
-    # Exchange per-process compressed sizes (MPI_Allgather analog), then
-    # the payloads themselves, padded to the max size (the reference NCCL
-    # path's max-padding trick, fl_gpu.cu:144-170, over DCN).
+    if nproc == 1:
+        assert int(total_size) == int(comp.input_size)
+        container.save_fl(output_path, comp)
+        return
+
+    # Sizes-only exchange (MPI_Allgather analog, fl_gpu.cu:101-106).
     sizes = _process_allgather(np.asarray(
         [comp.bits.size, comp.values.size, data.size], np.int64))
-    if nproc == 1:
-        merged = comp
-    else:
-        bmax = int(sizes[:, 0].max())
-        vmax = int(sizes[:, 1].max())
-        bpad = np.zeros(bmax, np.uint8)
-        bpad[: comp.bits.size] = comp.bits
-        vpad = np.zeros(vmax, np.uint8)
-        vpad[: comp.values.size] = comp.values
-        bits_all = _process_allgather(bpad)      # (P, bmax)
-        vals_all = _process_allgather(vpad)      # (P, vmax)
-        if pid != 0:
-            return
-        merged = container.FLCompressed(
-            bits=np.concatenate(
-                [bits_all[p, : sizes[p, 0]] for p in range(nproc)]),
-            values=np.concatenate(
-                [vals_all[p, : sizes[p, 1]] for p in range(nproc)]),
-            input_size=int(sizes[:, 2].sum()))
+    bsizes, vsizes = sizes[:, 0], sizes[:, 1]
+    boffs = _HEADER.size + np.concatenate([[0], np.cumsum(bsizes)[:-1]])
+    voffs = (_HEADER.size + int(bsizes.sum())
+             + np.concatenate([[0], np.cumsum(vsizes)[:-1]]))
+    total_payload = _HEADER.size + int(bsizes.sum()) + int(vsizes.sum())
+
+    fd = None
     if pid == 0:
-        assert int(total_size) == int(merged.input_size)
-        container.save_fl(output_path, merged)
+        assert int(total_size) == int(sizes[:, 2].sum())
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                     0o644)
+        os.ftruncate(fd, total_payload)
+        os.pwrite(fd, _HEADER.pack(int(total_size), int(bsizes.sum()),
+                                   int(vsizes.sum())), 0)
+    try:
+        _stream_to_host0(
+            comp.bits, bsizes,
+            lambda p, pos, piece: _pwrite(fd, int(boffs[p]) + pos, piece),
+            chunk)
+        _stream_to_host0(
+            comp.values, vsizes,
+            lambda p, pos, piece: _pwrite(fd, int(voffs[p]) + pos, piece),
+            chunk)
+    finally:
+        if fd is not None:
+            os.close(fd)
 
 
 def _file_size(path: str) -> int:
-    import os
     return os.path.getsize(path)
 
 
 def compress_rl_file(input_path: str, output_path: str,
-                     bucket_frames: int = 8192) -> None:
+                     bucket_frames: int = 8192, chunk: int = 0) -> None:
     """RL analog of :func:`compress_fl_file` — per-process chunk encode,
-    size + payload exchange over DCN, process-0 container write.  Shard
-    boundaries may split runs (lossless; documented distributed
-    semantics)."""
+    sizes-only exchange, rank-ordered streaming to the process-0 container
+    write.  Shard boundaries may split runs (lossless; documented
+    distributed semantics)."""
     nproc = jax.process_count()
     pid = jax.process_index()
     data, _ = fileio.load_file_sharded(input_path, pid, nproc, FRAME_LENGTH)
     mesh = dist.make_local_mesh()
     comp = dist.compress_rl(np.asarray(data), mesh, bucket_frames)
 
+    if nproc == 1:
+        container.save_rl(output_path, comp)
+        return
+
     sizes = _process_allgather(np.asarray(
         [comp.counts.size, data.size], np.int64))
-    if nproc == 1:
-        merged = comp
-    else:
-        rmax = int(sizes[:, 0].max())
-        cpad = np.zeros(rmax, np.uint8)
-        cpad[: comp.counts.size] = comp.counts
-        vpad = np.zeros(rmax, np.uint8)
-        vpad[: comp.values.size] = comp.values
-        counts_all = _process_allgather(cpad)
-        vals_all = _process_allgather(vpad)
-        if pid != 0:
-            return
-        merged = container.RLCompressed(
-            counts=np.concatenate(
-                [counts_all[p, : sizes[p, 0]] for p in range(nproc)]),
-            values=np.concatenate(
-                [vals_all[p, : sizes[p, 0]] for p in range(nproc)]),
-            input_size=int(sizes[:, 1].sum()))
+    rsizes = sizes[:, 0]
+    r_total = int(rsizes.sum())
+    coffs = _HEADER.size + np.concatenate([[0], np.cumsum(rsizes)[:-1]])
+    voffs = coffs + r_total
+
+    fd = None
     if pid == 0:
-        container.save_rl(output_path, merged)
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                     0o644)
+        os.ftruncate(fd, _HEADER.size + 2 * r_total)
+        os.pwrite(fd, _HEADER.pack(int(sizes[:, 1].sum()), r_total,
+                                   r_total), 0)
+    try:
+        _stream_to_host0(
+            comp.counts, rsizes,
+            lambda p, pos, piece: _pwrite(fd, int(coffs[p]) + pos, piece),
+            chunk)
+        _stream_to_host0(
+            comp.values, rsizes,
+            lambda p, pos, piece: _pwrite(fd, int(voffs[p]) + pos, piece),
+            chunk)
+    finally:
+        if fd is not None:
+            os.close(fd)
 
 
 def decompress_fl_file(input_path: str, output_path: str,
                        frame_length: int = FRAME_LENGTH,
-                       bucket_frames: int = 8192) -> None:
-    """Distributed decompression of a container file (the reference has no
-    distributed decode at all).  Every process decodes the full container
-    with its local chips; process 0 writes the output.  (A chunked
-    per-process variant needs a sharded output file protocol, which the
-    reference also lacks — single-writer keeps the CLI contract.)"""
-    if jax.process_index() != 0:
+                       bucket_frames: int = 8192, chunk: int = 0) -> None:
+    """Distributed multi-host decompression (the reference decompresses on
+    one CPU thread for every distributed method, ``main.cu:131-169``).
+
+    Every process reads the widths header, derives its frame-aligned byte
+    range and that range's packed-values offsets (one sum over the widths
+    — the decoder-side offset scan, ``fl_gpu.cu:596-601``), reads ONLY its
+    slice of the container, decodes it on its local chips, and streams the
+    decoded bytes to host 0, which writes them at the range's offset.
+    """
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc == 1:
+        comp = container.load_fl(input_path)
+        out = dist.decompress_fl(comp, dist.make_local_mesh(), frame_length,
+                                 bucket_frames)
+        fileio.save_file(output_path, out)
         return
-    comp = container.load_fl(input_path)
-    out = dist.decompress_fl(comp, dist.make_local_mesh(), frame_length,
+
+    with open(input_path, "rb") as f:
+        n, bits_size, values_size = _HEADER.unpack(f.read(_HEADER.size))
+        bits_all = np.frombuffer(f.read(bits_size), np.uint8)
+    frames = -(-n // frame_length)
+    if bits_size < frames:
+        raise IOError("[FileIO] corrupt FL container: widths array "
+                      "shorter than frame count")
+
+    # Frame-aligned byte split (the loadFileMpi rule on the *output*).
+    bchunk = (n // (frame_length * nproc)) * frame_length
+    my_off = pid * bchunk
+    my_n = (n - my_off) if pid == nproc - 1 else bchunk
+    f0 = my_off // frame_length
+    f1 = f0 + (-(-my_n // frame_length)) if my_n else f0
+
+    # Packed-byte offsets: frames before f0 are all full (the only partial
+    # frame is globally last), so one widths sum gives the start.
+    head = _HEADER.size + bits_size
+    v0 = int(bits_all[:f0].astype(np.int64).sum()) * frame_length // 8
+    counts = np.minimum(
+        my_n - np.arange(f1 - f0, dtype=np.int64) * frame_length,
+        frame_length)
+    my_vbytes = int(((bits_all[f0:f1].astype(np.int64) * counts + 7)
+                     // 8).sum())
+    if v0 + my_vbytes > values_size:
+        raise IOError("[FileIO] corrupt FL container: packed stream "
+                      "shorter than the widths imply")
+
+    values = fileio.load_range(input_path, head + v0, my_vbytes)
+    sub = container.FLCompressed(bits_all[f0:f1], values, my_n)
+    out = dist.decompress_fl(sub, dist.make_local_mesh(), frame_length,
                              bucket_frames)
-    fileio.save_file(output_path, out)
+
+    sizes = _process_allgather(np.asarray([my_n, my_off], np.int64))
+    fd = None
+    if pid == 0:
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                     0o644)
+        os.ftruncate(fd, n)
+    try:
+        _stream_to_host0(
+            out, sizes[:, 0],
+            lambda p, pos, piece: _pwrite(fd, int(sizes[p, 1]) + pos,
+                                          piece),
+            chunk)
+    finally:
+        if fd is not None:
+            os.close(fd)
+
+
+def decompress_rl_file(input_path: str, output_path: str,
+                       bucket: int = 1 << 16, chunk: int = 0) -> None:
+    """Distributed multi-host RL decode: the run list is split evenly;
+    each process reads only its counts/values slices, decodes on local
+    chips, exchanges per-range decoded sizes (one small allgather) to
+    place itself, and streams bytes to host 0."""
+    nproc = jax.process_count()
+    pid = jax.process_index()
+    if nproc == 1:
+        comp = container.load_rl(input_path)
+        out = dist.decompress_rl(comp, dist.make_local_mesh(), bucket)
+        fileio.save_file(output_path, out)
+        return
+
+    with open(input_path, "rb") as f:
+        n, counts_size, values_size = _HEADER.unpack(f.read(_HEADER.size))
+    if counts_size != values_size:
+        raise IOError("[FileIO] corrupt RL container: counts/values size "
+                      f"mismatch ({counts_size} != {values_size})")
+    per = -(-counts_size // nproc)
+    lo = min(pid * per, counts_size)
+    hi = min(lo + per, counts_size)
+    counts = fileio.load_range(input_path, _HEADER.size + lo, hi - lo)
+    values = fileio.load_range(input_path,
+                               _HEADER.size + counts_size + lo, hi - lo)
+    my_n = int(counts.astype(np.int64).sum())
+    sub = container.RLCompressed(counts, values, my_n)
+    out = dist.decompress_rl(sub, dist.make_local_mesh(), bucket)
+
+    sizes = _process_allgather(np.asarray([my_n], np.int64))[:, 0]
+    offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
+    total = int(sizes.sum())
+    if total != n:
+        raise IOError("[FileIO] corrupt RL container: counts sum to "
+                      f"{total}, header claims {n}")
+    fd = None
+    if pid == 0:
+        fd = os.open(output_path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC,
+                     0o644)
+        os.ftruncate(fd, n)
+    try:
+        _stream_to_host0(
+            out, sizes,
+            lambda p, pos, piece: _pwrite(fd, int(offs[p]) + pos, piece),
+            chunk)
+    finally:
+        if fd is not None:
+            os.close(fd)

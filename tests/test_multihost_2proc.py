@@ -1,7 +1,11 @@
-"""REAL 2-process multihost test: jax.distributed bootstrap + DCN-style
-payload exchange, on CPU.  This is the closest single-machine analog of the
-reference's multi-node runs (which it could never test) — and it caught a
-real bug: per-process work must use local (addressable) meshes.
+"""REAL 2-process multihost tests: jax.distributed bootstrap + DCN-style
+streaming payload exchange, on CPU.  This is the closest single-machine
+analog of the reference's multi-node runs (which it could never test).
+
+The streaming merge is driven with a deliberately tiny round size
+(``chunk=4096``) so dozens of allgather rounds actually execute — pinning
+that host-0 assembly is correct with bounded O(P·chunk) buffers, not just
+in the one-round degenerate case.
 """
 
 import os
@@ -26,10 +30,20 @@ WORKER = textwrap.dedent("""
                                num_processes=nproc, process_id=pid)
     assert jax.process_count() == nproc
     from fl_rl_compression_mpi_tpu.parallel import multihost
-    if sys.argv[6] == "fl":
-        multihost.compress_fl_file(sys.argv[4], sys.argv[5], bucket_frames=16)
-    else:
-        multihost.compress_rl_file(sys.argv[4], sys.argv[5], bucket_frames=16)
+    src, dst, mode = sys.argv[4], sys.argv[5], sys.argv[6]
+    if mode == "fl":
+        multihost.compress_fl_file(src, dst, bucket_frames=16, chunk=4096)
+    elif mode == "rl":
+        multihost.compress_rl_file(src, dst, bucket_frames=16, chunk=4096)
+    elif mode == "fl-roundtrip":
+        multihost.compress_fl_file(src, dst + ".fl", bucket_frames=16,
+                                   chunk=4096)
+        multihost.decompress_fl_file(dst + ".fl", dst, bucket_frames=16,
+                                     chunk=4096)
+    elif mode == "rl-roundtrip":
+        multihost.compress_rl_file(src, dst + ".rl", bucket_frames=16,
+                                   chunk=4096)
+        multihost.decompress_rl_file(dst + ".rl", dst, chunk=4096)
 """)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -41,9 +55,9 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_proc(tmp_path, data, method):
+def _run_two_proc(tmp_path, data, mode):
     src = str(tmp_path / "in.bin")
-    dst = str(tmp_path / ("out." + method))
+    dst = str(tmp_path / ("out." + mode))
     data.tofile(src)
     worker = str(tmp_path / "worker.py")
     with open(worker, "w") as f:
@@ -52,7 +66,7 @@ def _run_two_proc(tmp_path, data, method):
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
     procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", port, src, dst, method],
+        [sys.executable, worker, str(i), "2", port, src, dst, mode],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
         text=True) for i in range(2)]
     outs = [p.communicate(timeout=240)[0] for p in procs]
@@ -81,3 +95,24 @@ def test_two_process_compress_rl(tmp_path):
     comp = container.load_rl(dst)
     np.testing.assert_array_equal(
         rl_numpy.decode(comp.counts, comp.values), data)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_fl_roundtrip_with_distributed_decode(tmp_path):
+    data = np.random.default_rng(2).integers(0, 64, 128 * 900 + 55,
+                                             np.uint8)
+    dst = _run_two_proc(tmp_path, data, "fl-roundtrip")
+    np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
+    # and the intermediate container is the canonical single-process one
+    comp = container.load_fl(dst + ".fl")
+    bits_g, values_g = fl_numpy.encode(data)
+    np.testing.assert_array_equal(comp.bits, bits_g)
+    np.testing.assert_array_equal(comp.values, values_g)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_rl_roundtrip_with_distributed_decode(tmp_path):
+    data = np.repeat(
+        np.random.default_rng(3).integers(0, 16, 700, np.uint8), 173)
+    dst = _run_two_proc(tmp_path, data, "rl-roundtrip")
+    np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
