@@ -134,11 +134,13 @@ def main() -> int:
         data = jax.device_put(jnp.asarray(buf))
         nn = jnp.int32(n)
 
-        enc, t_enc = timed(lambda: rl_jax.rl_encode(data, nn), args.reps,
-                           inner=1)
+        enc, t_enc = timed(lambda: rl_jax.rl_encode_device(data, nn),
+                           args.reps, inner=1)
+        extra["kernel"] = ("pallas" if rl_jax._use_pallas(npad) else "xla")
         out, t_dec = timed(
-            lambda: rl_jax.rl_decode(enc.counts, enc.values, enc.num_runs,
-                                     nn, npad), args.reps, inner=1)
+            lambda: rl_jax.rl_decode_device(enc.counts, enc.values,
+                                            enc.num_runs, nn, npad),
+            args.reps, inner=1)
         comp_bytes = 2 * int(enc.num_runs)
         ok = bool(np.array_equal(np.asarray(jax.device_get(out))[:n], host))
         nat = get_native()

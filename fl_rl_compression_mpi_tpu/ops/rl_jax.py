@@ -102,6 +102,46 @@ def rl_decode(counts: jax.Array, values: jax.Array, num_runs: jax.Array,
 
 
 # ---------------------------------------------------------------------------
+# Backend selection: Pallas routing kernels on TPU (the XLA formulation
+# above keeps `.at[].set` scatters that lower to the scalar core — the
+# correct-but-dead fallback and CPU/test path).
+# ---------------------------------------------------------------------------
+
+def _use_pallas(npad_bytes: int) -> bool:
+    from . import rl_pallas
+    return (jax.default_backend() == "tpu"
+            and npad_bytes % (rl_pallas.TILE_ROWS * 128) == 0)
+
+
+def rl_encode_device(data: jax.Array, n: jax.Array) -> RLEncoded:
+    """Backend-selected RL encode (Pallas on TPU when shapes allow).
+    ``data``: u8[N_pad] with zeros beyond ``n``.  The returned counts/
+    values arrays may be slightly longer than N_pad (kernel staging
+    slack); entries beyond ``num_runs`` are junk either way."""
+    npad = data.shape[0]
+    if _use_pallas(npad):
+        from . import rl_pallas
+        packed, total = rl_pallas.rl_encode_pallas(
+            data.reshape(-1, 128), n)
+        counts, values = rl_pallas.rl_split_packed(packed)
+        return RLEncoded(counts=counts, values=values, num_runs=total)
+    return rl_encode(data, n)
+
+
+def rl_decode_device(counts: jax.Array, values: jax.Array,
+                     num_runs: jax.Array, n: jax.Array,
+                     out_pad: int) -> jax.Array:
+    """Backend-selected RL decode.  Output u8[out_pad]; bytes beyond ``n``
+    are unspecified (callers slice ``[:n]``)."""
+    if _use_pallas(out_pad) and counts.shape[0] % 128 == 0:
+        from . import rl_pallas
+        out2d = rl_pallas.rl_decode_pallas(counts, values, num_runs,
+                                           out_pad // 128)
+        return out2d.reshape(-1)
+    return rl_decode(counts, values, num_runs, n, out_pad)
+
+
+# ---------------------------------------------------------------------------
 # Host-facing convenience wrappers.
 # ---------------------------------------------------------------------------
 
@@ -119,13 +159,14 @@ def encode(data: np.ndarray, bucket: int = 1 << 20):
     npad = _pad(n, bucket)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
-    enc = jax.device_get(rl_encode(jnp.asarray(buf), jnp.int32(n)))
+    enc = rl_encode_device(jnp.asarray(buf), jnp.int32(n))
     r = int(enc.num_runs)
-    return np.asarray(enc.counts[:r]), np.asarray(enc.values[:r])
+    return (np.asarray(jax.device_get(enc.counts[:r])),
+            np.asarray(jax.device_get(enc.values[:r])))
 
 
 def decode(counts: np.ndarray, values: np.ndarray,
-           bucket: int = 1 << 12) -> np.ndarray:
+           bucket: int = 1 << 13) -> np.ndarray:
     """NumPy in → decoded bytes out (host API mirroring `rl_numpy.decode`).
     The exact decoded size is the sum of counts, computed host-side."""
     counts = np.asarray(counts, np.uint8)
@@ -140,6 +181,7 @@ def decode(counts: np.ndarray, values: np.ndarray,
     vbuf = np.zeros(rpad, np.uint8)
     vbuf[:r] = values
     out_pad = _pad(n, bucket)
-    out = jax.device_get(rl_decode(jnp.asarray(cbuf), jnp.asarray(vbuf),
-                                   jnp.int32(r), jnp.int32(n), out_pad))
+    out = jax.device_get(rl_decode_device(
+        jnp.asarray(cbuf), jnp.asarray(vbuf), jnp.int32(r), jnp.int32(n),
+        out_pad))
     return np.asarray(out)[:n]

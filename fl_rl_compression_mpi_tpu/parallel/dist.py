@@ -211,7 +211,7 @@ def fl_decompress_sharded(mesh: Mesh, fields2d: jax.Array, bits2d: jax.Array,
 # ---------------------------------------------------------------------------
 
 def _rl_local_encode(block, n):
-    enc = rl_jax.rl_encode(block[0], n[0])
+    enc = rl_jax.rl_encode_device(block[0], n[0])
     return enc.counts[None], enc.values[None], enc.num_runs[None]
 
 
@@ -233,8 +233,8 @@ def rl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array):
 
 def _rl_local_decode(out_pad):
     def f(counts, values, nr, n):
-        return rl_jax.rl_decode(counts[0], values[0], nr[0], n[0],
-                                out_pad)[None]
+        return rl_jax.rl_decode_device(counts[0], values[0], nr[0], n[0],
+                                       out_pad)[None]
     return f
 
 

@@ -1,0 +1,89 @@
+"""Pallas RL kernels vs the NumPy golden (interpret mode on CPU).
+
+Covers the adversarial shapes the routing design must survive: the
+255-run cap, runs straddling tile boundaries, dense length-1 runs (max
+compaction load), a single input-length run (max carry load), exact-tile
+sizes, and sub-tile tails.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_rl_compression_mpi_tpu.ops import rl_jax, rl_numpy, rl_pallas
+
+R = 64  # tile rows under test (8192-byte tiles)
+
+
+def _encode(data):
+    n = data.size
+    tile = R * 128
+    npad = max(tile, -(-n // tile) * tile)
+    buf = np.zeros(npad, np.uint8)
+    buf[:n] = data
+    packed, total = rl_pallas.rl_encode_pallas(
+        jnp.asarray(buf.reshape(-1, 128)), jnp.int32(n), tile_rows=R)
+    total = int(total)
+    packed = np.asarray(packed)[:total]
+    return ((packed >> 8) & 0xFF).astype(np.uint8), \
+        (packed & 0xFF).astype(np.uint8)
+
+
+def _decode(counts, values, n):
+    tile = R * 128
+    rows_out = max(R, -(-n // tile) * R)
+    rcap = -(-max(1, counts.size) // 128) * 128
+    cbuf = np.zeros(rcap, np.uint8)
+    cbuf[:counts.size] = counts
+    vbuf = np.zeros(rcap, np.uint8)
+    vbuf[:values.size] = values
+    out = rl_pallas.rl_decode_pallas(
+        jnp.asarray(cbuf), jnp.asarray(vbuf), jnp.int32(counts.size),
+        rows_out, tile_rows=R)
+    return np.asarray(out).reshape(-1)[:n]
+
+
+def _cases():
+    g = np.random.default_rng(0)
+    return [
+        ("few-runs", g.integers(0, 4, 10_000, np.uint8)),
+        ("cap-runs", np.repeat(g.integers(0, 8, 100, np.uint8),
+                               300)[:20_000].copy()),
+        ("dense", g.integers(0, 256, 9_000, np.uint8)),
+        ("one-run", np.zeros(30_000, np.uint8)),
+        ("exact-tile", np.full(R * 128, 7, np.uint8)),
+        ("ramp", np.arange(256, dtype=np.uint8).repeat(97)[:17_000].copy()),
+        ("tiny", g.integers(0, 2, 131).astype(np.uint8)),
+        ("cap-boundary-255", np.full(255, 9, np.uint8)),
+        ("cap-boundary-256", np.full(256, 9, np.uint8)),
+        ("tile-straddle", np.repeat(
+            g.integers(0, 16, 40, np.uint8), 500)[:R * 128 * 2 + 5].copy()),
+    ]
+
+
+@pytest.mark.parametrize("name,data", _cases(),
+                         ids=[c[0] for c in _cases()])
+def test_encode_matches_golden(name, data):
+    counts, values = _encode(data)
+    cg, vg = rl_numpy.encode(data)
+    np.testing.assert_array_equal(counts, cg)
+    np.testing.assert_array_equal(values, vg)
+
+
+@pytest.mark.parametrize("name,data", _cases(),
+                         ids=[c[0] for c in _cases()])
+def test_decode_roundtrip(name, data):
+    cg, vg = rl_numpy.encode(data)
+    np.testing.assert_array_equal(_decode(cg, vg, data.size), data)
+
+
+def test_device_dispatch_wrappers(fuzz_inputs):
+    """The rl_jax host wrappers (XLA fallback on CPU) stay bit-identical
+    with the golden across the fuzz battery after the dispatch refactor."""
+    for data in fuzz_inputs:
+        c, v = rl_jax.encode(data)
+        cg, vg = rl_numpy.encode(data)
+        np.testing.assert_array_equal(c, cg)
+        np.testing.assert_array_equal(v, vg)
+        np.testing.assert_array_equal(rl_jax.decode(cg, vg),
+                                      rl_numpy.decode(cg, vg))
