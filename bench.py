@@ -102,22 +102,76 @@ def main() -> int:
         ok = bool(np.array_equal(
             np.asarray(jax.device_get(out_w)).view(np.uint8)[:n], host))
 
-        # Host fold rate + compressed size (native lib; skip if absent).
+        # Host fold/unfold steady-state rate (warm-up first: the very
+        # first big call per process pays one-time page provisioning —
+        # BENCH_r01's 0.07 GB/s was measuring the hypervisor, not the
+        # fold; see fl_rl_compression_mpi_tpu/__init__._retain_arena).
+        t0 = time.perf_counter()
         fields_h = np.asarray(jax.device_get(fields_d))[: frames * 32]
+        extra["d2h_gbps"] = round(n / 1e9 / (time.perf_counter() - t0), 3)
         nat = get_native()
         if nat is not None:
-            t0 = time.perf_counter()
-            values = nat.fl_fold(fields_h, bits_h, n, 128)
-            t_fold = time.perf_counter() - t0
+            values = nat.fl_fold(fields_h, bits_h, n, 128)  # warm-up
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                values = nat.fl_fold(fields_h, bits_h, n, 128)
+                ts.append(time.perf_counter() - t0)
             comp_bytes = frames + values.size
-            extra["fold_gbps"] = round(n / 1e9 / t_fold, 2)
-            t0 = time.perf_counter()
-            nat.fl_unfold(values, bits_h, n, 128)
-            extra["unfold_gbps"] = round(
-                n / 1e9 / (time.perf_counter() - t0), 2)
+            extra["fold_gbps"] = round(n / 1e9 / min(ts), 2)
+            nat.fl_unfold(values, bits_h, n, 128)           # warm-up
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                nat.fl_unfold(values, bits_h, n, 128)
+                ts.append(time.perf_counter() - t0)
+            extra["unfold_gbps"] = round(n / 1e9 / min(ts), 2)
         else:
             from fl_rl_compression_mpi_tpu.ops import fl_numpy
             comp_bytes = fl_numpy.compressed_size(host)
+
+        # Sharded-vs-bare efficiency on a 1-chip mesh (BASELINE.md:29's
+        # scaling-efficiency target, measured where no real ICI traffic
+        # exists — pure shard_map overhead).
+        from fl_rl_compression_mpi_tpu.parallel import dist
+        mesh = dist.make_mesh(1)
+        words2d = words.reshape(1, -1)
+        ns1 = jnp.asarray(np.asarray([n], np.int64), jnp.int32)
+        _, t_sh = timed(
+            lambda: dist.fl_compress_sharded(mesh, words2d, ns1),
+            args.reps)
+        extra["sharded_enc_gbps"] = round(n / 1e9 / t_sh, 1)
+        extra["sharded_eff"] = round(t_enc / t_sh, 3)
+
+        # End-to-end: file -> container via the real single-chip pipeline
+        # (load, H2D, kernel, D2H of widths+fields, host fold, container
+        # write).  On this tunneled dev platform D2H is ~0.007 GB/s, so
+        # the wall time is transfer-dominated — an artifact of the
+        # tunnel, not the architecture; the phase keys let readers
+        # re-project for PCIe-attached hosts (docs/PERFORMANCE.md).
+        import tempfile
+        from fl_rl_compression_mpi_tpu import container as cont
+        from fl_rl_compression_mpi_tpu.fileio import load_file
+        from fl_rl_compression_mpi_tpu.ops import fl_jax as _fj
+        with tempfile.TemporaryDirectory() as td:
+            src = f"{td}/in.bin"
+            dst = f"{td}/out.fl"
+            host.tofile(src)
+            t0 = time.perf_counter()
+            data_l = load_file(src)
+            t_load = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            bits_e, values_e = _fj.encode(data_l)
+            t_codec = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            cont.save_fl(dst, cont.FLCompressed(bits_e, values_e, n))
+            t_write = time.perf_counter() - t0
+            e2e = t_load + t_codec + t_write
+            extra["end_to_end_gbps"] = round(n / 1e9 / e2e, 4)
+            extra["e2e_load_s"] = round(t_load, 2)
+            extra["e2e_codec_s"] = round(t_codec, 2)
+            extra["e2e_write_s"] = round(t_write, 2)
+
         sol_gbps = hbm_gbps / 2.0
         metric = "fl_kernel_throughput"
     else:

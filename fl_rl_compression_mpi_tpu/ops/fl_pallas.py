@@ -33,9 +33,18 @@ from .bitpack import FRAME_LENGTH
 
 import os
 
-TILE_R = int(os.environ.get("FLRL_TILE_R", "2048"))  # sublane rows per tile
+# Tile rows per op, tuned on the real chip (experiments/exp7: encode is
+# compute-heavier and prefers 2048-row tiles at 297 GB/s; decode peaks at
+# 1024 rows with 490 GB/s).  FLRL_TILE_R overrides both (tests set 256 so
+# interpret-mode cases stay small).
+_TILE_OVERRIDE = int(os.environ.get("FLRL_TILE_R", "0"))
+ENC_TILE_R = _TILE_OVERRIDE or int(os.environ.get("FLRL_ENC_TILE_R",
+                                                  "2048"))
+DEC_TILE_R = _TILE_OVERRIDE or int(os.environ.get("FLRL_DEC_TILE_R",
+                                                  "1024"))
+TILE_R = _TILE_OVERRIDE or max(ENC_TILE_R, DEC_TILE_R)
 LANES = 128
-TILE_WORDS = TILE_R * LANES       # default 1 MiB per buffer
+TILE_WORDS = TILE_R * LANES       # padding granularity (covers both ops)
 
 
 def _word_widths_f32exp(o: jax.Array) -> jax.Array:
@@ -150,7 +159,7 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
     Flatten on host: ``np.asarray(bits2d).reshape(-1)[:frames]``.
     """
     del n  # kept in the signature for API stability; see input contract
-    tile_r = TILE_R if tile_r is None else tile_r
+    tile_r = ENC_TILE_R if tile_r is None else tile_r
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
     nw = words.shape[0]
@@ -192,7 +201,7 @@ def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
     NumPy, never on device) → words u32[NW].  Bytes beyond ``n`` in the
     output are unspecified (callers slice ``[:n]`` on host)."""
     del n  # see output contract
-    tile_r = TILE_R if tile_r is None else tile_r
+    tile_r = DEC_TILE_R if tile_r is None else tile_r
     wpf = frame_length // 4
     assert _supported(frame_length), frame_length
     nw = fields.shape[0]
