@@ -1,0 +1,206 @@
+"""Dense-on-device FL encode: the container's packed byte stream is
+assembled ON the TPU — no host fold.
+
+Round-1 analysis (experiments/FINDINGS.md §dense) found bit-granular
+device assembly "dead" because producing packed *bytes* per frame needs
+per-lane dynamic addressing.  The word-granular reformulation here
+sidesteps that entirely:
+
+* a group of 8 fields (= 8 u32 words = 32 input values) at frame width
+  ``b`` packs to EXACTLY ``b`` whole u32 words (32·b bits), and every
+  frame is 4 such groups, so the reference's dense stream
+  (``/root/reference/src/fl/fl_gpu.cu:700-726`` semantics) is a
+  concatenation of word-aligned group payloads;
+* the group pack is a static funnel per width variant: for each b, each
+  output word draws fixed bit-windows from fixed neighbor lanes —
+  generated as (out-slot, field, shift) terms at trace time, applied as
+  masked shift-ORs over lane-rolled copies of the spread fields;
+* placement is the monotone routing network (``lanes.compact_lsb2`` —
+  a two-array variant carrying the full 32-bit word), with the same
+  sequential-grid cursor + carry-row + dynamic-offset DMA emitter as the
+  RL encoder.
+
+Output: the exact ``values`` stream as u32 words (host slices the byte
+view to the exact size computed from the widths), plus the per-frame
+widths in the (rows, 4)-u8 layout shared with `fl_pallas`.
+"""
+
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from . import lanes
+from .fl_pallas import _frame_widths_mxu, _word_widths_f32exp
+from .lanes import LANES, flat_idx
+
+DENSE_TILE_R = int(os.environ.get("FLRL_DENSE_TILE_R", "512"))
+
+
+def _interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def _iota(shape, dim):
+    return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
+
+
+def _pack_terms(b: int):
+    """(out_slot j, field k, shift) terms for packing one 8-field group at
+    width b: field k's 4b bits live at group-bit offset 4bk; out word j
+    holds group bits [32j, 32j+32)."""
+    terms = []
+    for k in range(8):
+        lo = 4 * b * k
+        hi = lo + 4 * b
+        for j in range(lo // 32, (hi - 1) // 32 + 1):
+            terms.append((j, k, lo - 32 * j))
+    return terms
+
+
+def _pack_groups(fields: jax.Array, b_lane: jax.Array) -> jax.Array:
+    """Funnel-pack each 8-lane group of spread fields into its first
+    ``b`` lanes (full u32 words of the dense stream); lanes ≥ b junk."""
+    lane8 = _iota(fields.shape, 1) % 8
+    rot = {}
+
+    def ROT(d):
+        d %= LANES
+        if d not in rot:
+            rot[d] = fields if d == 0 else pltpu.roll(fields, d, 1)
+        return rot[d]
+
+    out = jnp.zeros_like(fields)
+    for b in range(1, 9):
+        vb = jnp.zeros_like(fields)
+        for j, k, shift in _pack_terms(b):
+            src = ROT(j - k)
+            t = (src << shift) if shift >= 0 else (src >> -shift)
+            vb = vb | jnp.where(lane8 == j, t, jnp.uint32(0))
+        out = jnp.where(b_lane == b, vb, out)
+    return out
+
+
+def _encode_kernel(R: int):
+    nbits = (R * LANES - 1).bit_length()
+
+    def kernel(nf_ref, w_ref, bits_ref, out_ref, total_ref,
+               carry, carry_row, merged, sem):
+        i = pl.program_id(0)
+        n_frames = nf_ref[0]
+
+        @pl.when(i == 0)
+        def _():
+            carry[0] = 0           # emitted-word cursor
+            carry_row[...] = jnp.zeros((1, LANES), jnp.uint32)
+
+        w = w_ref[...].astype(jnp.uint32)
+        o = w | (w >> 8)
+        o = (o | (o >> 16)) & jnp.uint32(0xFF)
+        wq = _word_widths_f32exp(o)
+        b_fpr, b_lane = _frame_widths_mxu(wq, 32)
+        bits_ref[...] = b_fpr.astype(jnp.uint8)
+
+        m = jnp.uint32(1) << b_lane.astype(jnp.uint32)
+        r = w >> 24
+        r = r * m + ((w >> 16) & jnp.uint32(0xFF))
+        r = r * m + ((w >> 8) & jnp.uint32(0xFF))
+        fields = r * m + (w & jnp.uint32(0xFF))
+
+        packed = _pack_groups(fields, b_lane)
+
+        # placement: group g's payload starts at the cumulative b-sum of
+        # prior groups in this tile; the cross-tile base is the cursor
+        fidx = flat_idx(R)
+        lane8 = _iota((R, LANES), 1) % 8
+        gword = i * R * LANES + fidx
+        frame_ok = (gword >> 5) < n_frames      # 32 words per frame
+        live = (lane8 < b_lane) & frame_ok
+        gb = jnp.where((lane8 == 0) & frame_ok, b_lane, 0)
+        incl = lanes.prefix_sum_flat(gb)
+        # exclusive-of-own-group prefix for EVERY lane: the inclusive sum
+        # counts this group's head (lane8 == 0 ≤ every lane of the group),
+        # and the group's width is b_lane at all its lanes
+        egp = incl - jnp.where(frame_ok, b_lane, 0)
+        dest = egp + lane8
+        dist = fidx - dest
+        K = jnp.max(incl)
+
+        ctrl = jnp.where(live,
+                         jnp.int32(lanes.LIVE) | (dist << lanes.DIST_SHIFT),
+                         jnp.int32(0))
+        ctrl, pay = lanes.compact_lsb2(ctrl, packed, nbits)
+
+        cc = carry[0] % LANES
+        out_row = carry[0] // LANES
+        padded = jnp.concatenate(
+            [pay, jnp.zeros((8, LANES), jnp.uint32)], axis=0)
+        sh = lanes.flat_shift_up(padded, cc, 0)
+        sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
+                       & (_iota((R + 8, LANES), 1) < cc),
+                       carry_row[...], sh)
+        merged[...] = sh
+        cp = pltpu.make_async_copy(
+            merged, out_ref.at[pl.ds(out_row, R + 8)], sem)
+        cp.start()
+        cp.wait()
+
+        carry_row[...] = merged[pl.ds((cc + K) // LANES, 1), :]
+        carry[0] = carry[0] + K
+        total_ref[0] = carry[0]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r",))
+def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
+                           tile_r: int | None = None):
+    """Dense FL encode.  ``words`` u32[NW] (NW a tile multiple, bytes
+    beyond the input zero); ``n_frames`` = ceil(n/128) (traced).
+
+    Returns ``(bits2d u8[rows, 4], dense u32[(rows+tile+8)·128],
+    total_words i32[])`` — ``dense.view(u8)[:values_size]`` is the exact
+    reference byte stream (trailing bits of the tail frame's last word
+    are zero by the zero-pad contract).
+    """
+    R = DENSE_TILE_R if tile_r is None else tile_r
+    nw = words.shape[0]
+    assert nw % (R * LANES) == 0
+    grid = nw // (R * LANES)
+
+    bits2d, dense, total = pl.pallas_call(
+        _encode_kernel(R),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nw // LANES, 4), jnp.uint8),
+            jax.ShapeDtypeStruct((nw // LANES + R + 8, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.VMEM((1, LANES), jnp.uint32),
+            pltpu.VMEM((R + 8, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(jnp.asarray(n_frames, jnp.int32).reshape(1),
+      words.reshape(nw // LANES, LANES))
+    return bits2d, dense.reshape(-1), total[0]

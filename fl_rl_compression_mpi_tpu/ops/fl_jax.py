@@ -171,6 +171,18 @@ def _use_pallas(frame_length: int, nw: int) -> bool:
             and nw % fl_pallas.TILE_WORDS == 0)
 
 
+def _use_dense(frame_length: int, nw: int) -> bool:
+    """Dense-on-device encode: the packed byte stream is assembled on the
+    TPU (no host fold) and only ratio·N bytes cross device→host.
+    FLRL_NO_DENSE=1 falls back to fields+fold."""
+    import os
+
+    from . import fl_dense_pallas
+    return (jax.default_backend() == "tpu" and frame_length == 128
+            and nw % (fl_dense_pallas.DENSE_TILE_R * 128) == 0
+            and os.environ.get("FLRL_NO_DENSE") != "1")
+
+
 def encode_fields_device(words: jax.Array, n: jax.Array,
                          frame_length: int = FRAME_LENGTH):
     """Backend-selected field encode (Pallas on TPU when shapes allow,
@@ -227,9 +239,21 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     npad = pad_to_frames(n, frame_length, bucket_frames)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
+    frames = -(-n // frame_length)
+    if _use_dense(frame_length, npad // 4):
+        from . import fl_dense_pallas
+        bits2d, dense, _ = fl_dense_pallas.fl_encode_dense_pallas(
+            jnp.asarray(buf.view(np.uint32)), jnp.int32(frames))
+        bits = np.asarray(jax.device_get(bits2d)).reshape(-1)[:frames]
+        counts = np.minimum(
+            n - np.arange(frames, dtype=np.int64) * frame_length,
+            frame_length)
+        vsz = int(((bits.astype(np.int64) * counts + 7) // 8).sum())
+        values = np.asarray(
+            jax.device_get(dense[: -(-vsz // 4)])).view(np.uint8)[:vsz]
+        return bits, values
     bits_d, fields_d = encode_fields_device(
         jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
-    frames = -(-n // frame_length)
     wpf = frame_length // 4
     # Pallas returns bits 2-D (rows, 128/wpf); XLA returns (F,) — both
     # flatten to frame order on host.

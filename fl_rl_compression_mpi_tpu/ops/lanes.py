@@ -57,7 +57,7 @@ def flat_shift_down(x: jax.Array, m: int, fill) -> jax.Array:
     m % 128 == 0 (the only amounts the routing networks use).
     """
     rows = x.shape[0]
-    fill = jnp.int32(fill)
+    fill = jnp.asarray(fill, x.dtype)
     if m % LANES == 0:
         q = m // LANES
         if q >= rows:
@@ -77,7 +77,7 @@ def flat_shift_up(x: jax.Array, m, fill, rows: int | None = None
 
     ``m`` may be a traced scalar when m < 128 (dynamic lane rotate)."""
     rows = x.shape[0] if rows is None else rows
-    fill = jnp.int32(fill)
+    fill = jnp.asarray(fill, x.dtype)
     if isinstance(m, int) and m % LANES == 0:
         q = m // LANES
         if q >= rows:
@@ -192,3 +192,19 @@ def expand_msb(w: jax.Array, nbits: int) -> jax.Array:
         w = jnp.where(take_in, sh - (m << DIST_SHIFT),
                       jnp.where(take_self, jnp.int32(0), w))
     return w
+
+
+def compact_lsb2(ctrl: jax.Array, pay: jax.Array, nbits: int):
+    """Two-array compaction: ``ctrl`` (i32) carries live|dist as in
+    :func:`compact_lsb`; ``pay`` (any 32-bit dtype) rides along.  Dead
+    slots of ``pay`` hold junk — mask with ``ctrl < 0`` liveness."""
+    for k in range(nbits):
+        m = 1 << k
+        shc = flat_shift_down(ctrl, m, 0)
+        shp = flat_shift_down(pay, m, 0)
+        take_in = (shc < 0) & ((shc & (m << DIST_SHIFT)) != 0)
+        take_self = (ctrl < 0) & ((ctrl & (m << DIST_SHIFT)) != 0)
+        ctrl = jnp.where(take_in, shc - (m << DIST_SHIFT),
+                         jnp.where(take_self, jnp.int32(0), ctrl))
+        pay = jnp.where(take_in, shp, pay)
+    return ctrl, pay

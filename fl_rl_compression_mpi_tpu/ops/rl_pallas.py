@@ -212,7 +212,11 @@ def _decode_kernel(R: int):
             carry[1] = 0           # value of the run straddling tile start
 
         j0 = carry[0]
-        arow = j0 // LANES
+        # clamp: the window DMA must stay inside the padded runs arrays
+        # even if a cursor-update edge case drifts (a row out of bounds
+        # here faults the chip, not just the answer)
+        nrows = starts_hbm.shape[0]
+        arow = jnp.clip(j0 // LANES, 0, nrows - W_ROWS)
         cp0 = pltpu.make_async_copy(
             starts_hbm.at[pl.ds(arow, W_ROWS)], starts_w, sem0)
         cp1 = pltpu.make_async_copy(

@@ -1,0 +1,54 @@
+"""Dense-on-device FL encode vs the NumPy golden (interpret mode)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from fl_rl_compression_mpi_tpu.ops import fl_dense_pallas, fl_numpy
+
+R = 8  # small tiles: interpret mode
+
+
+def _encode(data):
+    n = data.size
+    tile_bytes = R * 128 * 4
+    npad = max(tile_bytes, -(-n // tile_bytes) * tile_bytes)
+    buf = np.zeros(npad, np.uint8)
+    buf[:n] = data
+    frames = -(-n // 128)
+    bits2d, dense, total = fl_dense_pallas.fl_encode_dense_pallas(
+        jnp.asarray(buf.view(np.uint32)), jnp.int32(frames), tile_r=R)
+    return (np.asarray(bits2d).reshape(-1)[:frames],
+            np.asarray(dense).view(np.uint8), int(total))
+
+
+def _cases():
+    g = np.random.default_rng(0)
+    return [
+        ("w4", g.integers(0, 16, 10_000, np.uint8)),
+        ("w8", g.integers(0, 256, 9_000, np.uint8)),
+        ("w1-zero", np.zeros(5_000, np.uint8)),
+        ("w1-binary", g.integers(0, 2, 4_096, np.uint8)),
+        ("all-widths", np.concatenate(
+            [g.integers(0, 1 << b, 128).astype(np.uint8)
+             for b in range(1, 9)] * 4)),
+        ("tail-midword", g.integers(0, 256, 4_100, np.uint8)),
+        ("tiny-tail", g.integers(0, 5, 137).astype(np.uint8)),
+        ("exact-tile", np.full(R * 512, 200, np.uint8)),
+        ("cross-tile", g.integers(0, 32, R * 512 * 3 + 77, np.uint8)),
+    ]
+
+
+@pytest.mark.parametrize("name,data", _cases(), ids=[c[0] for c in _cases()])
+def test_dense_stream_bit_exact(name, data):
+    data = data.astype(np.uint8)
+    bits, vbytes, total = _encode(data)
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(bits, bg)
+    assert total * 4 >= vg.size
+    np.testing.assert_array_equal(vbytes[: vg.size], vg)
+    # trailing bits of the tail word are zero (the host-slice contract)
+    if vg.size % 4:
+        pad = 4 - vg.size % 4
+        np.testing.assert_array_equal(vbytes[vg.size: vg.size + pad],
+                                      np.zeros(pad, np.uint8))
