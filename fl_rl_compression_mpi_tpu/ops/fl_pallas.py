@@ -91,19 +91,18 @@ def _encode_kernel(wpf: int, tile_r: int):
     mask removes ~15 VPU ops/word; the masked kernel measured
     compute-bound at 257 GB/s vs a 455 GB/s copy ceiling (exp6).
 
-    The (tile_r, fpr)-u8 widths leave via DMA from a VMEM scratch into a
-    LINEAR (ANY-space) output: a tiled vector store of a minor-dim-4 u8
-    array pads 32× in layout and cost the masked kernel ~90 GB/s
-    (exp7 297 vs exp8's 391 without the widths output); the DMA write is
-    dense and tiny (fpr/512 of the input bytes)."""
-    def kernel(w_ref, fields_ref, bits_ref, bits_vmem, sem):
-        i = pl.program_id(0)
+    (An attempted widths-via-DMA variant — scratch → linear ANY output —
+    does not compile: Mosaic cannot slice the (4,1)-packed u8 memref the
+    minor-dim-fpr output gets even in ANY space.)"""
+    del tile_r
+
+    def kernel(w_ref, fields_ref, bits_ref):
         w = w_ref[...].astype(jnp.uint32)
         o = w | (w >> 8)
         o = (o | (o >> 16)) & jnp.uint32(0xFF)
         wq = _word_widths_f32exp(o)
         b_fpr, b_lane = _frame_widths_mxu(wq, wpf)
-        bits_vmem[...] = b_fpr.astype(jnp.uint8)
+        bits_ref[...] = b_fpr.astype(jnp.uint8)
 
         # Spread via Horner multiply (m = 2^b): adds are exact ORs because
         # the contributions occupy disjoint bit ranges.
@@ -112,11 +111,6 @@ def _encode_kernel(wpf: int, tile_r: int):
         r = r * m + ((w >> 16) & jnp.uint32(0xFF))
         r = r * m + ((w >> 8) & jnp.uint32(0xFF))
         fields_ref[...] = r * m + (w & jnp.uint32(0xFF))
-
-        cp = pltpu.make_async_copy(
-            bits_vmem, bits_ref.at[pl.ds(i * tile_r, tile_r)], sem)
-        cp.start()
-        cp.wait()
     return kernel
 
 
@@ -189,15 +183,12 @@ def fl_encode_fields_pallas(words: jax.Array, n: jax.Array,
         out_specs=[
             pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec((tile_r, fpr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
             jax.ShapeDtypeStruct((nw // LANES, fpr), jnp.uint8),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((tile_r, fpr), jnp.uint8),
-            pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),

@@ -34,6 +34,12 @@ def main() -> int:
                     default=["fl", "fl-cpu", "fl-dist", "rl-cpu"])
     ap.add_argument("--out", default="logs/bench_matrix.jsonl")
     ap.add_argument("--reps", type=int, default=3)
+    ap.add_argument("--host-verify", action="store_true",
+                    help="verify device-method round-trips with the native "
+                         "HOST decoder instead of timing device decode "
+                         "(bit-exactness is the same claim; on the "
+                         "tunneled dev chip D2H runs at ~0.007 GB/s, so a "
+                         "3 GB device decode pull alone takes ~7 min)")
     args = ap.parse_args()
 
     from fl_rl_compression_mpi_tpu.cli import _enable_compile_cache
@@ -55,6 +61,7 @@ def main() -> int:
         for method in args.methods:
             codec = resolve(method)
             host = rl_host if codec.family == "rl" else fl_host
+            device_method = method not in ("fl-cpu", "rl-cpu")
             try:
                 comp = codec.compress(host)       # warm (compile/caches)
                 ts = []
@@ -63,23 +70,31 @@ def main() -> int:
                     comp = codec.compress(host)
                     ts.append(time.perf_counter() - t0)
                 t_enc = float(np.median(ts))
-                out = codec.decompress(comp)
-                ts = []
-                for _ in range(args.reps):
-                    t0 = time.perf_counter()
+                rec = {"method": method, "size_mb": size_mb,
+                       "encode_gbps": round(n / 1e9 / t_enc, 2)}
+                if args.host_verify and device_method:
+                    from fl_rl_compression_mpi_tpu.native import get_native
+                    nat = get_native()
+                    if codec.family == "fl":
+                        out = nat.fl_decode(n, comp.bits, comp.values)
+                    else:
+                        out = nat.rl_decode(comp.counts, comp.values)
+                    rec["verify"] = "host-decode"
+                else:
                     out = codec.decompress(comp)
-                    ts.append(time.perf_counter() - t0)
-                t_dec = float(np.median(ts))
+                    ts = []
+                    for _ in range(args.reps):
+                        t0 = time.perf_counter()
+                        out = codec.decompress(comp)
+                        ts.append(time.perf_counter() - t0)
+                    rec["decode_gbps"] = round(
+                        n / 1e9 / float(np.median(ts)), 2)
                 ok = bool(np.array_equal(out, host))
                 if codec.family == "fl":
                     csize = comp.bits.size + comp.values.size + 24
                 else:
                     csize = comp.counts.size + comp.values.size + 24
-                rec = {"method": method, "size_mb": size_mb,
-                       "encode_gbps": round(n / 1e9 / t_enc, 2),
-                       "decode_gbps": round(n / 1e9 / t_dec, 2),
-                       "ratio": round(csize / n, 4),
-                       "roundtrip_ok": ok}
+                rec.update(ratio=round(csize / n, 4), roundtrip_ok=ok)
             except (MemoryError, RuntimeError, ValueError) as e:
                 rec = {"method": method, "size_mb": size_mb,
                        "error": str(e)[:200]}
