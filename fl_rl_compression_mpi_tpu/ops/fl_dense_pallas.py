@@ -40,7 +40,9 @@ from . import lanes
 from .fl_pallas import _frame_widths_mxu, _word_widths_f32exp
 from .lanes import LANES, flat_idx
 
-DENSE_TILE_R = int(os.environ.get("FLRL_DENSE_TILE_R", "512"))
+# Tile cap: the routing word carries dist in bits 16..30, so a tile may
+# hold at most 2^15 elements -> 256 rows (measured 31 GB/s on chip).
+DENSE_TILE_R = int(os.environ.get("FLRL_DENSE_TILE_R", "256"))
 
 
 def _interpret() -> bool:

@@ -171,6 +171,7 @@ def route_live(w: jax.Array) -> jax.Array:
 def compact_lsb(w: jax.Array, nbits: int) -> jax.Array:
     """Route every live element DOWN by its packed distance (monotone
     non-decreasing distances ⇒ collision-free; LSB-first)."""
+    assert nbits <= 15, "dist field is bits 16..30: tiles cap at 2^15 elems"
     for k in range(nbits):
         m = 1 << k
         sh = flat_shift_down(w, m, 0)
@@ -184,6 +185,7 @@ def compact_lsb(w: jax.Array, nbits: int) -> jax.Array:
 def expand_msb(w: jax.Array, nbits: int) -> jax.Array:
     """Route every live element UP by its packed distance (strictly
     increasing targets ⇒ collision-free; MSB-first)."""
+    assert nbits <= 15, "dist field is bits 16..30: tiles cap at 2^15 elems"
     for k in reversed(range(nbits)):
         m = 1 << k
         sh = flat_shift_up(w, m, 0)
@@ -198,6 +200,7 @@ def compact_lsb2(ctrl: jax.Array, pay: jax.Array, nbits: int):
     """Two-array compaction: ``ctrl`` (i32) carries live|dist as in
     :func:`compact_lsb`; ``pay`` (any 32-bit dtype) rides along.  Dead
     slots of ``pay`` hold junk — mask with ``ctrl < 0`` liveness."""
+    assert nbits <= 15, "dist field is bits 16..30: tiles cap at 2^15 elems"
     for k in range(nbits):
         m = 1 << k
         shc = flat_shift_down(ctrl, m, 0)

@@ -113,6 +113,12 @@ def _use_pallas(npad_bytes: int) -> bool:
             and npad_bytes % (rl_pallas.TILE_ROWS * 128) == 0)
 
 
+def _use_pallas_dec(out_pad: int) -> bool:
+    from . import rl_pallas
+    return (jax.default_backend() == "tpu"
+            and out_pad % (rl_pallas.DEC_TILE_ROWS * 128) == 0)
+
+
 def rl_encode_device(data: jax.Array, n: jax.Array) -> RLEncoded:
     """Backend-selected RL encode (Pallas on TPU when shapes allow).
     ``data``: u8[N_pad] with zeros beyond ``n``.  The returned counts/
@@ -133,7 +139,7 @@ def rl_decode_device(counts: jax.Array, values: jax.Array,
                      out_pad: int) -> jax.Array:
     """Backend-selected RL decode.  Output u8[out_pad]; bytes beyond ``n``
     are unspecified (callers slice ``[:n]``)."""
-    if _use_pallas(out_pad) and counts.shape[0] % 128 == 0:
+    if _use_pallas_dec(out_pad) and counts.shape[0] % 128 == 0:
         from . import rl_pallas
         out2d = rl_pallas.rl_decode_pallas(counts, values, num_runs,
                                            out_pad // 128)
@@ -166,7 +172,7 @@ def encode(data: np.ndarray, bucket: int = 1 << 20):
 
 
 def decode(counts: np.ndarray, values: np.ndarray,
-           bucket: int = 1 << 13) -> np.ndarray:
+           bucket: int = 1 << 15) -> np.ndarray:
     """NumPy in → decoded bytes out (host API mirroring `rl_numpy.decode`).
     The exact decoded size is the sum of counts, computed host-side."""
     counts = np.asarray(counts, np.uint8)

@@ -39,7 +39,12 @@ from jax.experimental.pallas import tpu as pltpu
 from . import lanes
 from .lanes import LANES, flat_idx, flat_shift_down, flat_shift_up
 
-TILE_ROWS = int(os.environ.get("FLRL_RL_TILE_ROWS", "64"))
+# Encode tiles cap at 256 rows (2^15 elements — the routing word's dist
+# field); decode at 128 (its +128-slot headroom costs one more bit).
+# Bigger is better on chip: per-tile DMA latency dominates (exp9:
+# 2.6 / 4.9 / 8.1 GB/s at 64 / 128 / 256 encode rows).
+TILE_ROWS = int(os.environ.get("FLRL_RL_TILE_ROWS", "256"))
+DEC_TILE_ROWS = int(os.environ.get("FLRL_RL_DEC_TILE_ROWS", "128"))
 LOOK_ROWS = 32            # 4096-byte lookahead ≥ the 255-byte run cap
 _I32MAX = 2 ** 31 - 1
 
@@ -193,14 +198,17 @@ def rl_split_packed(packed: jax.Array):
 # ---------------------------------------------------------------------------
 
 def _decode_kernel(R: int):
-    """Output tiles of (R,128) bytes; a run-cursor window of (R+1)·128 runs
-    is DMA'd per tile (every run ≥ 1 byte, so T+128 window slots always
-    cover the tile incl. cursor misalignment), expanded to start positions
-    with the MSB network (+128-slot headroom for runs straddling the tile
-    start), then holes take the previous run's value via a packed
-    prefix-max fill."""
-    W_ROWS = R + 1
-    nbits = (R * LANES + LANES - 1).bit_length()
+    """Output tiles of (R,128) bytes; a run-cursor window of (R+8)·128 runs
+    is DMA'd per tile from an 8-row-ALIGNED offset (unaligned dynamic-row
+    HBM reads faulted the chip in exp8/exp9; every run ≥ 1 byte, so the
+    window still covers the tile after ≤1023 slots of alignment slack),
+    expanded to start positions with the MSB network (+1024-slot headroom
+    keeps distances positive under that slack), then holes take the
+    previous run's value via a packed prefix-max fill."""
+    W_ROWS = R + 8
+    HEAD = 8 * LANES          # 1024-slot headroom
+    E_ROWS = W_ROWS + 8       # expansion workspace rows
+    nbits = (R * LANES + HEAD - 1).bit_length()
 
     def kernel(starts_hbm, vals_hbm, out_ref, carry, starts_w, vals_w,
                sem0, sem1):
@@ -212,18 +220,15 @@ def _decode_kernel(R: int):
             carry[1] = 0           # value of the run straddling tile start
 
         j0 = carry[0]
-        # clamp: the window DMA must stay inside the padded runs arrays
-        # even if a cursor-update edge case drifts (a row out of bounds
-        # here faults the chip, not just the answer)
         nrows = starts_hbm.shape[0]
-        arow = jnp.clip(j0 // LANES, 0, nrows - W_ROWS)
+        arow = jnp.clip((j0 // LANES) & ~7, 0, nrows - W_ROWS)
         cp0 = pltpu.make_async_copy(
             starts_hbm.at[pl.ds(arow, W_ROWS)], starts_w, sem0)
+        cp0.start()
+        cp0.wait()
         cp1 = pltpu.make_async_copy(
             vals_hbm.at[pl.ds(arow, W_ROWS)], vals_w, sem1)
-        cp0.start()
         cp1.start()
-        cp0.wait()
         cp1.wait()
 
         base = i * R * LANES
@@ -231,27 +236,27 @@ def _decode_kernel(R: int):
         t = st - base
         live = (t >= 0) & (t < R * LANES)
         q = flat_idx(W_ROWS)
-        dist = t + LANES - q       # +128-slot headroom (dist stays > 0)
+        dist = t + HEAD - q       # headroom keeps live distances > 0
         w = lanes.pack_route(live, dist, vals_w[...] & jnp.int32(0xFF))
-        wpad = jnp.concatenate([w, jnp.zeros((1, LANES), jnp.int32)],
+        wpad = jnp.concatenate([w, jnp.zeros((8, LANES), jnp.int32)],
                                axis=0)
         we = lanes.expand_msb(wpad, nbits)
 
         # hole fill: later run starts win (index-dominant packing); the
         # headroom slot 0 seeds the straddling run's carried value
-        fidx = flat_idx(W_ROWS + 1)
+        fidx = flat_idx(E_ROWS)
         fv = jnp.where(we < 0,
                        ((fidx + 1) << 9) | jnp.int32(1 << 8)
                        | (we & jnp.int32(0xFF)),
                        jnp.int32(0))
         fv = jnp.where(fidx == 0, (1 << 8) | carry[1], fv)
         filled = lanes.prefix_max_flat(fv)
-        out_ref[...] = (filled[1:R + 1] & jnp.int32(0xFF)).astype(jnp.uint8)
+        out_ref[...] = (filled[8:R + 8] & jnp.int32(0xFF)).astype(jnp.uint8)
 
         # cursor: absolute index of the run containing the tile's last byte
         cntlt = jnp.sum((st <= base + R * LANES - 1).astype(jnp.int32))
         carry[0] = arow * LANES + jnp.maximum(cntlt - 1, 0)
-        carry[1] = filled[R, LANES - 1] & jnp.int32(0xFF)
+        carry[1] = filled[R + 7, LANES - 1] & jnp.int32(0xFF)
     return kernel
 
 
@@ -262,7 +267,7 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
     bounded by traced ``num_runs``); returns u8[(rows_out,128)] — callers
     slice the flat view ``[:n]``.
     """
-    R = TILE_ROWS if tile_rows is None else tile_rows
+    R = DEC_TILE_ROWS if tile_rows is None else tile_rows
     assert rows_out % R == 0
     grid = rows_out // R
     rcap = counts.shape[0]
@@ -274,9 +279,9 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
     idx = jnp.arange(rcap, dtype=jnp.int32)
     starts = jnp.where(idx < num_runs, starts, _I32MAX)
 
-    # pad to whole window rows (the cursor DMA may read R+1 rows past the
+    # pad to whole window rows (the cursor DMA may read R+8 rows past the
     # last live run)
-    pad_rows = rcap // LANES + R + 2
+    pad_rows = rcap // LANES + R + 16
     st2 = jnp.full((pad_rows, LANES), _I32MAX, jnp.int32)
     st2 = jax.lax.dynamic_update_slice(
         st2.reshape(-1), starts, (0,)).reshape(pad_rows, LANES)
@@ -297,8 +302,8 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
         out_shape=jax.ShapeDtypeStruct((rows_out, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((R + 1, LANES), jnp.int32),
-            pltpu.VMEM((R + 1, LANES), jnp.int32),
+            pltpu.VMEM((R + 8, LANES), jnp.int32),
+            pltpu.VMEM((R + 8, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
