@@ -153,6 +153,32 @@ def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
     return fn(words2d, ns)
 
 
+def _fl_local_encode_dense(frame_length):
+    def f(words, n_frames):
+        from ..ops import fl_dense_pallas
+        bits2d, dense, total = fl_dense_pallas.fl_encode_dense_pallas(
+            words[0], n_frames[0])
+        return bits2d[None], dense[None], total[None]
+    return f
+
+
+def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
+                              nframes: jax.Array,
+                              frame_length: int = FRAME_LENGTH):
+    """Per-shard DENSE encode: each chip assembles its own packed byte
+    stream on device (no host fold anywhere); the host later pulls only
+    each shard's exact compressed prefix.  Frame-aligned shard boundaries
+    make the byte concatenation the reference merge exactly."""
+    fn = _cached(
+        ("fl_enc_dense", mesh, frame_length),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_encode_dense(frame_length), mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+            check_vma=False)))
+    return fn(words2d, nframes)
+
+
 def _fl_merged_encode(frame_length):
     def f(words, n):
         bits, fields = fl_jax.encode_fields_device(
@@ -277,6 +303,30 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
         return parts[0].merge(*parts[1:])
     plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
     words2d = shard_host_data(data, plan).view(np.uint32)
+    nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
+    if fl_jax._use_dense(frame_length, plan.shard_npad // 4):
+        # dense per-shard streams: device assembles the exact packed
+        # bytes; host pulls only each shard's compressed prefix
+        bits_d, dense_d, _ = fl_compress_sharded_dense(
+            mesh, jnp.asarray(words2d),
+            jnp.asarray([-(-int(x) // frame_length) for x in plan.ns],
+                        jnp.int32), frame_length)
+        bits_h = np.asarray(jax.device_get(bits_d))
+        bits_parts, values_parts = [], []
+        off = 0
+        for i in range(n_dev):
+            bi = bits_h[i].reshape(-1)[: nfs[i]]
+            counts = np.minimum(
+                int(plan.ns[i]) - np.arange(nfs[i], dtype=np.int64)
+                * frame_length, frame_length)
+            vsz = int(((bi.astype(np.int64) * counts + 7) // 8).sum())
+            vw = np.asarray(jax.device_get(dense_d[i, : -(-vsz // 4)]))
+            bits_parts.append(bi)
+            values_parts.append(vw.view(np.uint8)[:vsz])
+            off += vsz
+        return FLCompressed(bits=np.concatenate(bits_parts),
+                            values=np.concatenate(values_parts),
+                            input_size=data.size)
     bits, fields = jax.device_get(fl_compress_sharded(
         mesh, jnp.asarray(words2d), jnp.asarray(plan.ns, jnp.int32),
         frame_length))
@@ -285,7 +335,6 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
     # (MergeFLCompressed analog, fl_common.cuh:95); one host fold then
     # yields the byte-exact container payload.
     wpf = frame_length // 4
-    nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
     bits_all = np.concatenate(
         [np.asarray(bits[i]).reshape(-1)[: nfs[i]] for i in range(n_dev)])
     fields_all = np.concatenate(

@@ -52,3 +52,21 @@ def test_dense_stream_bit_exact(name, data):
         pad = 4 - vg.size % 4
         np.testing.assert_array_equal(vbytes[vg.size: vg.size + pad],
                                       np.zeros(pad, np.uint8))
+
+
+def test_dist_dense_path_bit_exact(monkeypatch):
+    """The per-shard dense-stream merge (no host fold) produces the same
+    container as the golden, across an 8-shard mesh (interpret mode)."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    from fl_rl_compression_mpi_tpu.parallel import dist
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    g = np.random.default_rng(5)
+    data = g.integers(0, 64, 128 * 250 + 99, np.uint8)
+    mesh = dist.make_mesh()
+    comp = dist.compress_fl(data, mesh, bucket_frames=32)
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(comp.bits, bg)
+    np.testing.assert_array_equal(comp.values, vg)
