@@ -42,7 +42,9 @@ from .lanes import LANES, flat_idx
 
 # Tile cap: the routing word carries dist in bits 16..30, so a tile may
 # hold at most 2^15 elements -> 256 rows (measured 31 GB/s on chip).
+# Decode tiles cap at 128: their 1024-slot alignment headroom costs a bit.
 DENSE_TILE_R = int(os.environ.get("FLRL_DENSE_TILE_R", "256"))
+DENSE_DEC_TILE_R = int(os.environ.get("FLRL_DENSE_DEC_TILE_R", "128"))
 
 
 def _interpret() -> bool:
@@ -206,3 +208,169 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     )(jnp.asarray(n_frames, jnp.int32).reshape(1),
       words.reshape(nw // LANES, LANES))
     return bits2d, dense.reshape(-1), total[0]
+
+
+# ---------------------------------------------------------------------------
+# Dense decode: container byte stream -> output, entirely on device.
+# ---------------------------------------------------------------------------
+
+def _unpack_terms(b: int):
+    """(field k, word slot j, shift) terms for unpacking one 8-field group
+    at width b: field k recovers bits [4bk, 4bk+4b) of the group stream;
+    ``shift`` ≥ 0 means ``word_j >> shift``, < 0 means ``word_j << -shift``
+    (the cross-word high part)."""
+    terms = []
+    for k in range(8):
+        lo = 4 * b * k
+        hi = lo + 4 * b
+        for j in range(lo // 32, (hi - 1) // 32 + 1):
+            terms.append((k, j, lo - 32 * j))
+    return terms
+
+
+def _unpack_groups(packed: jax.Array, b_lane: jax.Array) -> jax.Array:
+    """Inverse of :func:`_pack_groups`: group payload words (first b lanes
+    of each 8-lane group) -> spread fields at every lane."""
+    lane8 = _iota(packed.shape, 1) % 8
+    rot = {}
+
+    def ROT(d):
+        d %= LANES
+        if d not in rot:
+            rot[d] = packed if d == 0 else pltpu.roll(packed, d, 1)
+        return rot[d]
+
+    out = jnp.zeros_like(packed)
+    for b in range(1, 9):
+        mask4b = jnp.uint32((1 << (4 * b)) - 1 if b < 8 else 0xFFFFFFFF)
+        vb = jnp.zeros_like(packed)
+        for k, j, shift in _unpack_terms(b):
+            # field lane l (l%8 == k) reads packed word lane l - k + j
+            src = ROT(k - j)
+            t = (src >> shift) if shift >= 0 else (src << -shift)
+            vb = vb | jnp.where(lane8 == k, t & mask4b, jnp.uint32(0))
+        out = jnp.where(b_lane == b, vb, out)
+    return out
+
+
+def _decode_kernel(R: int):
+    HEADR = 8                  # 8-row (1024-slot) alignment headroom
+    HEAD = HEADR * LANES
+    W = R + 2 * HEADR          # window rows (DMA'd dense words)
+    nbits = (R * LANES + HEAD - 1).bit_length()
+
+    def kernel(woff_ref, nf_ref, bits_ref, dense_hbm, out_ref,
+               win, sem):
+        n_frames = nf_ref[0]
+        woff = woff_ref[0]
+        nrows = dense_hbm.shape[0]
+        awrow = jnp.clip((woff // LANES) & ~7, 0, nrows - W)
+        cp = pltpu.make_async_copy(dense_hbm.at[pl.ds(awrow, W)], win, sem)
+        cp.start()
+        cp.wait()
+        rem = woff - awrow * LANES
+
+        # per-frame widths -> per-lane (MXU broadcast, as fields decode)
+        b4 = bits_ref[...].astype(jnp.int32).astype(jnp.float32)
+        selT = (jax.lax.broadcasted_iota(jnp.int32, (4, LANES), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (4, LANES), 1)
+                // 32).astype(jnp.float32)
+        b_lane = jnp.dot(b4, selT,
+                         preferred_element_type=jnp.float32).astype(
+                             jnp.int32)
+
+        i = pl.program_id(0)
+        fidx = flat_idx(R)
+        lane8 = _iota((R, LANES), 1) % 8
+        gword = i * R * LANES + fidx
+        frame_ok = (gword >> 5) < n_frames
+        gb = jnp.where((lane8 == 0) & frame_ok, b_lane, 0)
+        incl = lanes.prefix_sum_flat(gb)
+        egp = incl - jnp.where(frame_ok, b_lane, 0)
+        K = jnp.max(incl)
+
+        # 1. route one marker per group from workspace slot 1024+8g down
+        #    to window slot rem+egp(g); payload = (8g - rem - egp) + 1024
+        mlive = (lane8 == 0) & frame_ok
+        delta = fidx - rem - egp           # == 8g - rem - egp at heads
+        mdist = HEAD + delta
+        mpay = delta + HEAD                # > 0, < HEAD + 128R
+        ws = jnp.concatenate([
+            jnp.zeros((HEADR, LANES), jnp.int32),
+            lanes.pack_route(mlive, mdist, mpay),
+            jnp.zeros((W - R - HEADR, LANES), jnp.int32)], axis=0)
+        ws = lanes.compact_lsb(ws, nbits)
+
+        # 2. fill: every window slot learns its group's delta
+        sidx = flat_idx(W)
+        fv = jnp.where(ws < 0, ((sidx + 1) << 16) | (ws & jnp.int32(0xFFFF)),
+                       jnp.int32(0))
+        filled = lanes.prefix_max_flat(fv)
+        delta_q = (filled & jnp.int32(0xFFFF)) - HEAD
+
+        # 3. expand window data up to output positions (+HEAD offset)
+        dlive = (sidx >= rem) & (sidx < rem + K)
+        ddist = delta_q + HEAD             # out' = q + delta + HEAD
+        ctrl = jnp.where(dlive,
+                         jnp.int32(lanes.LIVE) | (ddist << lanes.DIST_SHIFT),
+                         jnp.int32(0))
+        pay = jnp.concatenate([win[...], jnp.zeros((HEADR, LANES),
+                                                   jnp.uint32)], axis=0)
+        ctrl = jnp.concatenate([ctrl, jnp.zeros((HEADR, LANES),
+                                                jnp.int32)], axis=0)
+        ctrl, pay = lanes.expand_msb2(ctrl, pay, nbits)
+        packed = pay[HEADR:HEADR + R]
+
+        # 4. unpack groups -> spread fields -> unspread -> bytes
+        f = _unpack_groups(packed, b_lane)
+        b = b_lane.astype(jnp.uint32)
+        mask = (jnp.uint32(1) << b) - jnp.uint32(1)
+        s1 = f >> b
+        s2 = s1 >> b
+        s3 = s2 >> b
+        out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
+                        | ((s2 & mask) << 16) | ((s3 & mask) << 24))
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r",))
+def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
+                           woffs: jax.Array, n_frames: jax.Array,
+                           tile_r: int | None = None) -> jax.Array:
+    """Dense FL decode: the container's packed stream (u32-word view,
+    zero-padded) + per-frame widths -> decoded words, on device.
+
+    ``dense2d``: u32[(pad_rows,128)]; ``bits2d``: u8[(rows,4)] frame
+    widths; ``woffs``: i32[grid] per-tile word offsets into the stream
+    (4·Σb of prior frames — the decoder-side offset scan,
+    ``/root/reference/src/fl/fl_gpu.cu:596-601``, done once on host).
+    Returns u32[(rows,128)] decoded words (slice the byte view to n).
+    """
+    R = DENSE_DEC_TILE_R if tile_r is None else tile_r
+    rows = bits2d.shape[0]
+    assert rows % R == 0
+    grid = rows // R
+    assert woffs.shape[0] == grid
+
+    out = pl.pallas_call(
+        _decode_kernel(R),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
+        scratch_shapes=[
+            pltpu.VMEM((R + 16, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(woffs, jnp.asarray(n_frames, jnp.int32).reshape(1), bits2d, dense2d)
+    return out

@@ -183,6 +183,17 @@ def _use_dense(frame_length: int, nw: int) -> bool:
             and os.environ.get("FLRL_NO_DENSE") != "1")
 
 
+def _use_dense_dec(frame_length: int, nw: int) -> bool:
+    """Dense-on-device decode: the packed stream goes up as-is (ratio·N
+    host→device, no host unfold) and is unpacked on the TPU."""
+    import os
+
+    from . import fl_dense_pallas
+    return (jax.default_backend() == "tpu" and frame_length == 128
+            and nw % (fl_dense_pallas.DENSE_DEC_TILE_R * 128) == 0
+            and os.environ.get("FLRL_NO_DENSE") != "1")
+
+
 def encode_fields_device(words: jax.Array, n: jax.Array,
                          frame_length: int = FRAME_LENGTH):
     """Backend-selected field encode (Pallas on TPU when shapes allow,
@@ -292,8 +303,34 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
                 min(cap, n - off), bits[f0:f1],
                 values[voffs[f0]:voffs[f1]], frame_length, bucket_frames))
         return np.concatenate(parts)
-    fields_h = unfold(values, bits, n, frame_length)
     npad = pad_to_frames(n, frame_length, bucket_frames)
+    if _use_dense_dec(frame_length, npad // 4):
+        from . import fl_dense_pallas
+        R = fl_dense_pallas.DENSE_DEC_TILE_R
+        frames = -(-n // frame_length)
+        if bits.size < frames:
+            raise ValueError(
+                "fl decode: corrupt container (bits array shorter than "
+                f"frame count: {bits.size} < {frames})")
+        rows = npad // 512                      # output u32 rows
+        grid = rows // R
+        fb = np.zeros(rows * 4, np.int64)
+        fb[:frames] = bits[:frames]
+        wper = fb.reshape(grid, -1).sum(axis=1) * 4
+        woffs = np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32)
+        vwords = -(-values.size // 4)
+        pad_rows = vwords // 128 + R + 32
+        dbuf = np.zeros(pad_rows * 512, np.uint8)
+        dbuf[: values.size] = values
+        b2 = np.zeros((rows, 4), np.uint8)
+        b2.reshape(-1)[:frames] = bits[:frames]
+        out = fl_dense_pallas.fl_decode_dense_pallas(
+            jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128)),
+            jnp.asarray(b2), jnp.asarray(woffs), jnp.int32(frames))
+        return np.ascontiguousarray(
+            np.asarray(jax.device_get(out)).reshape(-1)).view(
+                np.uint8)[:n].copy()
+    fields_h = unfold(values, bits, n, frame_length)
     fpad = npad // frame_length
     wpf = frame_length // 4
     fbuf = np.zeros(fpad * wpf, np.uint32)

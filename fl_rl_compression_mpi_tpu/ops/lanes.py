@@ -211,3 +211,19 @@ def compact_lsb2(ctrl: jax.Array, pay: jax.Array, nbits: int):
                          jnp.where(take_self, jnp.int32(0), ctrl))
         pay = jnp.where(take_in, shp, pay)
     return ctrl, pay
+
+
+def expand_msb2(ctrl: jax.Array, pay: jax.Array, nbits: int):
+    """Two-array expansion: ``ctrl`` (i32) carries live|dist as in
+    :func:`expand_msb`; ``pay`` (any 32-bit dtype) rides along."""
+    assert nbits <= 15, "dist field is bits 16..30: tiles cap at 2^15 elems"
+    for k in reversed(range(nbits)):
+        m = 1 << k
+        shc = flat_shift_up(ctrl, m, 0)
+        shp = flat_shift_up(pay, m, 0)
+        take_in = (shc < 0) & ((shc & (m << DIST_SHIFT)) != 0)
+        take_self = (ctrl < 0) & ((ctrl & (m << DIST_SHIFT)) != 0)
+        ctrl = jnp.where(take_in, shc - (m << DIST_SHIFT),
+                         jnp.where(take_self, jnp.int32(0), ctrl))
+        pay = jnp.where(take_in, shp, pay)
+    return ctrl, pay

@@ -70,3 +70,63 @@ def test_dist_dense_path_bit_exact(monkeypatch):
     bg, vg = fl_numpy.encode(data)
     np.testing.assert_array_equal(comp.bits, bg)
     np.testing.assert_array_equal(comp.values, vg)
+
+
+def _dec_cases():
+    g = np.random.default_rng(10)
+    return [
+        ("w4", g.integers(0, 16, 10_000, np.uint8)),
+        ("w8", g.integers(0, 256, 9_000, np.uint8)),
+        ("all-widths", np.concatenate(
+            [g.integers(0, 1 << b, 128).astype(np.uint8)
+             for b in range(1, 9)] * 4)),
+        ("tail-midword", g.integers(0, 256, 4_100, np.uint8)),
+        ("tiny", g.integers(0, 5, 137).astype(np.uint8)),
+        ("cross-tile", g.integers(0, 32, 8 * 512 * 3 + 77, np.uint8)),
+    ]
+
+
+@pytest.mark.parametrize("name,data", _dec_cases(),
+                         ids=[c[0] for c in _dec_cases()])
+def test_dense_decode_bit_exact(name, data):
+    import jax
+
+    data = data.astype(np.uint8)
+    n = data.size
+    R = 8
+    bits, values = fl_numpy.encode(data)
+    frames = -(-n // 128)
+    rows = max(R, -(-n // (R * 512)) * R)
+    grid = rows // R
+    fb = np.zeros(rows * 4, np.int64)
+    fb[:frames] = bits
+    wper = fb.reshape(grid, -1).sum(axis=1) * 4
+    woffs = np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32)
+    vwords = -(-values.size // 4)
+    pad_rows = vwords // 128 + R + 32
+    dbuf = np.zeros(pad_rows * 512, np.uint8)
+    dbuf[: values.size] = values
+    b2 = np.zeros((rows, 4), np.uint8)
+    b2.reshape(-1)[:frames] = bits
+    out = fl_dense_pallas.fl_decode_dense_pallas(
+        jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128)),
+        jnp.asarray(b2), jnp.asarray(woffs), jnp.int32(frames), tile_r=R)
+    got = np.ascontiguousarray(
+        np.asarray(jax.device_get(out)).reshape(-1)).view(np.uint8)[:n]
+    np.testing.assert_array_equal(got, data)
+
+
+def test_host_decode_dense_branch(monkeypatch):
+    """fl_jax.decode's dense branch (forced on CPU) matches the golden."""
+    import jax
+
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense_dec",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    g = np.random.default_rng(11)
+    data = g.integers(0, 64, 128 * 300 + 55, np.uint8)
+    bits, values = fl_numpy.encode(data)
+    np.testing.assert_array_equal(
+        fl_jax.decode(data.size, bits, values, bucket_frames=32), data)
