@@ -79,6 +79,7 @@ def main() -> int:
         return out, max(float(np.median(ts)), 1e-9)
 
     extra = {}
+    agg_override = None
     if args.method == "fl":
         npad = fl_jax.pad_to_frames(n)
         buf = np.zeros(npad, np.uint8)
@@ -121,6 +122,45 @@ def main() -> int:
                 extra["dec_tile"] = tr
         ok = bool(np.array_equal(
             np.asarray(jax.device_get(out_w)).view(np.uint8)[:n], host))
+
+        # HEADLINE methodology: chained encode→decode round trips.  The
+        # per-op paired-differencing above can under-count when identical
+        # independent dispatches pipeline through the tunnel (measured
+        # "decode" rates above the 819 GB/s HBM peak); chaining each op
+        # on the previous op's output forces true serialization, and the
+        # (1, 1+K) difference cancels the tunnel latency exactly.
+        if use_pallas:
+            enc_tile, dec_tile = extra["enc_tile"], extra["dec_tile"]
+
+            @jax.jit
+            def roundtrip(w):
+                b, f = fl_pallas.fl_encode_fields_pallas(
+                    w, nn, frame_length=128, tile_r=enc_tile)
+                return fl_pallas.fl_decode_fields_pallas(
+                    f, b, nn, frame_length=128, tile_r=dec_tile)
+
+            def chain(k):
+                w = words
+                for _ in range(k):
+                    w = roundtrip(w)
+                return w
+
+            fence_out = chain(1)
+            jax.device_get(fence_out.ravel()[-1])
+            inner = 6
+            ts = []
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                jax.device_get(chain(1).ravel()[-1])
+                t1 = time.perf_counter()
+                jax.device_get(chain(1 + inner).ravel()[-1])
+                t2 = time.perf_counter()
+                ts.append(((t2 - t1) - (t1 - t0)) / inner)
+            t_pair = max(float(np.median(ts)), 1e-9)
+            extra["chained_pair_gbps"] = round(2 * n / 1e9 / t_pair, 1)
+            agg_override = 2 * n / 1e9 / t_pair
+        else:
+            agg_override = None
 
         # Dense-on-device encode (exact container bytes on device — the
         # end-to-end path; see ops/fl_dense_pallas.py)
@@ -187,6 +227,7 @@ def main() -> int:
             src = f"{td}/in.bin"
             dst = f"{td}/out.fl"
             host.tofile(src)
+            _fj.encode(host)   # warm compiles + buffers (same shapes)
             t0 = time.perf_counter()
             data_l = load_file(src)
             t_load = time.perf_counter() - t0
@@ -246,6 +287,8 @@ def main() -> int:
     enc_gbps = gb / t_enc
     dec_gbps = gb / t_dec
     agg_gbps = 2 * gb / (t_enc + t_dec)
+    if args.method == "fl" and agg_override:
+        agg_gbps = agg_override
 
     if not args.json_only:
         print(f"# {args.method} size={args.size_mb}MiB ratio={ratio:.4f} "
