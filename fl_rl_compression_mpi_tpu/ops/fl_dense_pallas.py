@@ -91,7 +91,7 @@ def _pack_groups(fields: jax.Array, b_lane: jax.Array) -> jax.Array:
     return out
 
 
-def _encode_kernel(R: int):
+def _encode_kernel(R: int, grid: int):
     nbits = (R * LANES - 1).bit_length()
 
     def kernel(nf_ref, w_ref, bits_ref, out_ref, total_ref,
@@ -149,13 +149,23 @@ def _encode_kernel(R: int):
         sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
                        & (_iota((R + 8, LANES), 1) < cc),
                        carry_row[...], sh)
-        merged[...] = sh
-        cp = pltpu.make_async_copy(
-            merged, out_ref.at[pl.ds(out_row, R + 8)], sem)
-        cp.start()
-        cp.wait()
+        # The previous tile's DMA is awaited only here (it overlapped this
+        # tile's compute); starting the next strictly after keeps the
+        # overlapping junk-tail overwrites in order.
+        dst = out_ref.at[pl.ds(out_row, R + 8)]
 
-        carry_row[...] = merged[pl.ds((cc + K) // LANES, 1), :]
+        @pl.when(i > 0)
+        def _():
+            pltpu.make_async_copy(merged, dst, sem).wait()
+        merged[...] = sh
+        pltpu.make_async_copy(merged, dst, sem).start()
+
+        @pl.when(i == grid - 1)
+        def _():
+            pltpu.make_async_copy(merged, dst, sem).wait()
+
+        carry_row[...] = jax.lax.dynamic_slice_in_dim(
+            sh, (cc + K) // LANES, 1, axis=0)
         carry[0] = carry[0] + K
         total_ref[0] = carry[0]
     return kernel
@@ -178,7 +188,7 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     grid = nw // (R * LANES)
 
     bits2d, dense, total = pl.pallas_call(
-        _encode_kernel(R),
+        _encode_kernel(R, grid),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),

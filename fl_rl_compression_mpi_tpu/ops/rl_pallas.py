@@ -57,7 +57,7 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _encode_kernel(R: int, nbits: int):
+def _encode_kernel(R: int, nbits: int, grid: int):
     E = R + LOOK_ROWS
 
     def kernel(n_ref, xm_ref, xl_ref, out_ref, total_ref,
@@ -111,7 +111,12 @@ def _encode_kernel(R: int, nbits: int):
         w = lanes.pack_route(keep, dist, payload16)
         wc = lanes.compact_lsb(w[:R], nbits) & jnp.int32(0xFFFF)
 
-        # prepend the cross-tile partial output row, stage, and emit
+        # prepend the cross-tile partial output row, stage, and emit.
+        # The PREVIOUS tile's DMA is only awaited here — it overlaps this
+        # tile's whole compute phase — and because the next DMA starts
+        # strictly after the previous completed, the overlapping output
+        # regions (junk tails overwritten by the next tile's live data)
+        # land in order.
         cc = carry[2] % LANES
         out_row = carry[2] // LANES
         padded = jnp.concatenate(
@@ -120,14 +125,23 @@ def _encode_kernel(R: int, nbits: int):
         sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
                        & (_iota((R + 8, LANES), 1) < cc),
                        carry_row[...], sh)
-        merged[...] = sh
-        cp = pltpu.make_async_copy(
-            merged, out_ref.at[pl.ds(out_row, R + 8)], sem)
-        cp.start()
-        cp.wait()
+        dst = out_ref.at[pl.ds(out_row, R + 8)]
 
-        # carries for the next tile
-        carry_row[...] = merged[pl.ds((cc + K) // LANES, 1), :]
+        @pl.when(i > 0)
+        def _():
+            pltpu.make_async_copy(merged, dst, sem).wait()
+        merged[...] = sh
+        cp = pltpu.make_async_copy(merged, dst, sem)
+        cp.start()
+
+        @pl.when(i == grid - 1)
+        def _():
+            pltpu.make_async_copy(merged, dst, sem).wait()
+
+        # carries for the next tile (from the register value — the buffer
+        # is in flight)
+        p = (cc + K) // LANES
+        carry_row[...] = jax.lax.dynamic_slice_in_dim(sh, p, 1, axis=0)
         carry[2] = carry[2] + K
         carry[0] = xm[R - 1, LANES - 1]
         carry[1] = ls[R - 1, LANES - 1]
@@ -154,7 +168,7 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
     nblk = rows // LOOK_ROWS
 
     packed, total = pl.pallas_call(
-        _encode_kernel(R, nbits),
+        _encode_kernel(R, nbits, grid),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
