@@ -179,6 +179,32 @@ def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
     return fn(words2d, nframes)
 
 
+def _fl_merged_encode_dense(frame_length):
+    def f(words, n_frames):
+        from ..ops import fl_dense_pallas
+        bits2d, dense, total = fl_dense_pallas.fl_encode_dense_pallas(
+            words[0], n_frames[0])
+        # max-padded ICI all-gather of the per-shard DENSE payloads —
+        # the ncclAllGather analog (fl_gpu.cu:144-194) carrying exact
+        # compressed streams instead of field forms
+        return (jax.lax.all_gather(bits2d, AXIS),
+                jax.lax.all_gather(dense, AXIS),
+                jax.lax.all_gather(total, AXIS))
+    return f
+
+
+def fl_compress_merged_dense(mesh: Mesh, words2d: jax.Array,
+                             nframes: jax.Array,
+                             frame_length: int = FRAME_LENGTH):
+    fn = _cached(
+        ("fl_merged_dense", mesh, frame_length),
+        lambda: jax.jit(jax.shard_map(
+            _fl_merged_encode_dense(frame_length), mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(), P(), P()), check_vma=False)))
+    return fn(words2d, nframes)
+
+
 def _fl_merged_encode(frame_length):
     def f(words, n):
         bits, fields = fl_jax.encode_fields_device(
@@ -363,6 +389,29 @@ def compress_fl_ici(data: np.ndarray, mesh: Mesh | None = None,
                  for o in range(0, data.size, step)]
         return parts[0].merge(*parts[1:])
     plan = plan_shards(data.size, n_dev, frame_length, bucket_frames)
+    if fl_jax._use_dense(frame_length, plan.shard_npad // 4):
+        words2d = shard_host_data(data, plan).view(np.uint32)
+        nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
+        bits_g, dense_g, _ = fl_compress_merged_dense(
+            mesh, jnp.asarray(words2d),
+            jnp.asarray([-(-int(x) // frame_length) for x in plan.ns],
+                        jnp.int32), frame_length)
+        bits_h = np.asarray(jax.device_get(bits_g))
+        dense_h = np.asarray(jax.device_get(dense_g))
+        bits_parts, values_parts = [], []
+        for i in range(n_dev):
+            bi = bits_h[i].reshape(-1)[: nfs[i]]
+            counts = np.minimum(
+                int(plan.ns[i]) - np.arange(nfs[i], dtype=np.int64)
+                * frame_length, frame_length)
+            vsz = int(((bi.astype(np.int64) * counts + 7) // 8).sum())
+            bits_parts.append(bi)
+            values_parts.append(
+                np.ascontiguousarray(
+                    dense_h[i, : -(-vsz // 4)]).view(np.uint8)[:vsz])
+        return FLCompressed(bits=np.concatenate(bits_parts),
+                            values=np.concatenate(values_parts),
+                            input_size=data.size)
     words2d = shard_host_data(data, plan).view(np.uint32)
     bits_g, fields_g = jax.device_get(fl_compress_merged(
         mesh, jnp.asarray(words2d), jnp.asarray(plan.ns, jnp.int32),

@@ -130,3 +130,22 @@ def test_host_decode_dense_branch(monkeypatch):
     bits, values = fl_numpy.encode(data)
     np.testing.assert_array_equal(
         fl_jax.decode(data.size, bits, values, bucket_frames=32), data)
+
+
+def test_dist_ici_dense_path_bit_exact(monkeypatch):
+    """The dense ICI all-gather merge (NCCL analog carrying exact
+    compressed streams) produces the golden container on an 8-shard
+    mesh."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    from fl_rl_compression_mpi_tpu.parallel import dist
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    g = np.random.default_rng(6)
+    data = g.integers(0, 64, 128 * 260 + 17, np.uint8)
+    mesh = dist.make_mesh()
+    comp = dist.compress_fl_ici(data, mesh, bucket_frames=32)
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(comp.bits, bg)
+    np.testing.assert_array_equal(comp.values, vg)
