@@ -231,6 +231,29 @@ def fl_compress_merged(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
     return fn(words2d, ns)
 
 
+def _fl_local_decode_dense(frame_length):
+    def f(dense, bits2d, woffs, nframes):
+        from ..ops import fl_dense_pallas
+        out = fl_dense_pallas.fl_decode_dense_pallas(
+            dense[0], bits2d[0], woffs[0], nframes[0])
+        return out[None]
+    return f
+
+
+def fl_decompress_sharded_dense(mesh: Mesh, dense3d, bits3d, woffs2d,
+                                nframes, frame_length: int = FRAME_LENGTH):
+    """Per-shard DENSE decode: each chip unpacks its own compressed slice
+    (host does no unfold; host→device traffic is compressed bytes)."""
+    fn = _cached(
+        ("fl_dec_dense", mesh, frame_length),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_decode_dense(frame_length), mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS, None, None),
+                      P(AXIS, None), P(AXIS)),
+            out_specs=P(AXIS, None, None), check_vma=False)))
+    return fn(dense3d, bits3d, woffs2d, nframes)
+
+
 def _fl_local_decode(frame_length):
     def f(fields, bits, n):
         out = fl_jax.decode_fields_device(fields[0], bits[0], n[0],
@@ -458,6 +481,50 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         return np.concatenate(parts)
     plan = plan_shards(n, n_dev, frame_length, bucket_frames)
     wpf = frame_length // 4
+    from ..ops import fl_dense_pallas
+    R = fl_dense_pallas.DENSE_DEC_TILE_R
+    rows_shard = plan.shard_npad // 512
+    if (fl_jax._use_dense_dec(frame_length, plan.shard_npad // 4)
+            and rows_shard % R == 0):
+        # dense sharded decode: each chip unpacks its own compressed
+        # slice; no host unfold, host->device is compressed bytes only
+        if comp.bits.size < -(-n // frame_length):
+            raise ValueError(
+                "fl decode: corrupt container (bits array shorter than "
+                f"frame count: {comp.bits.size} < {-(-n // frame_length)})")
+        grid_l = rows_shard // R
+        pad_rows = rows_shard + R + 32
+        dense3d = np.zeros((n_dev, pad_rows, 128), np.uint32)
+        bits3d = np.zeros((n_dev, rows_shard, 4), np.uint8)
+        woffs2d = np.zeros((n_dev, grid_l), np.int32)
+        nfr = np.zeros(n_dev, np.int32)
+        fstart = 0
+        voff = 0
+        for i in range(n_dev):
+            nf_i = _frames_of(plan, i, frame_length)
+            bi = comp.bits[fstart:fstart + nf_i]
+            counts = np.minimum(
+                int(plan.ns[i]) - np.arange(nf_i, dtype=np.int64)
+                * frame_length, frame_length)
+            vsz = int(((bi.astype(np.int64) * counts + 7) // 8).sum())
+            vslice = comp.values[voff:voff + vsz]
+            dense3d[i].reshape(-1).view(np.uint8)[: vsz] = vslice
+            bits3d[i].reshape(-1)[:nf_i] = bi
+            fb = np.zeros(rows_shard * 4, np.int64)
+            fb[:nf_i] = bi
+            wper = fb.reshape(grid_l, -1).sum(axis=1) * 4
+            woffs2d[i] = np.concatenate(
+                [[0], np.cumsum(wper)[:-1]]).astype(np.int32)
+            nfr[i] = nf_i
+            fstart += nf_i
+            voff += vsz
+        out = jax.device_get(fl_decompress_sharded_dense(
+            mesh, jnp.asarray(dense3d), jnp.asarray(bits3d),
+            jnp.asarray(woffs2d), jnp.asarray(nfr), frame_length))
+        out_bytes = np.ascontiguousarray(
+            np.asarray(out)).view(np.uint8).reshape(n_dev, -1)
+        return np.concatenate(
+            [out_bytes[i, : plan.ns[i]] for i in range(n_dev)])
     # Host unfold (cheap memcpy-class pass), then sharded device decode.
     fields_all = unfold(comp.values, comp.bits, n, frame_length)
     fields2d = np.zeros((n_dev, plan.frames_pad * wpf), np.uint32)

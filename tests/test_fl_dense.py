@@ -149,3 +149,22 @@ def test_dist_ici_dense_path_bit_exact(monkeypatch):
     bg, vg = fl_numpy.encode(data)
     np.testing.assert_array_equal(comp.bits, bg)
     np.testing.assert_array_equal(comp.values, vg)
+
+
+def test_dist_dense_decode_bit_exact(monkeypatch):
+    """Sharded dense decode (each chip unpacks its compressed slice)
+    restores the exact input across an 8-shard mesh."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    from fl_rl_compression_mpi_tpu.parallel import dist
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense_dec",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    g = np.random.default_rng(8)
+    data = g.integers(0, 64, 128 * 270 + 31, np.uint8)
+    bits, values = fl_numpy.encode(data)
+    from fl_rl_compression_mpi_tpu.container import FLCompressed
+    mesh = dist.make_mesh()
+    out = dist.decompress_fl(FLCompressed(bits, values, data.size), mesh,
+                             bucket_frames=32)
+    np.testing.assert_array_equal(out, data)
