@@ -164,8 +164,10 @@ def _encode_kernel(R: int, grid: int):
         def _():
             pltpu.make_async_copy(merged, dst, sem).wait()
 
-        carry_row[...] = jax.lax.dynamic_slice_in_dim(
-            sh, (cc + K) // LANES, 1, axis=0)
+        carry_row[...] = jnp.sum(
+            jnp.where(_iota((R + 8, LANES), 0) == (cc + K) // LANES,
+                      sh, jnp.uint32(0)),
+            axis=0, keepdims=True)
         carry[0] = carry[0] + K
         total_ref[0] = carry[0]
     return kernel

@@ -138,10 +138,13 @@ def _encode_kernel(R: int, nbits: int, grid: int):
         def _():
             pltpu.make_async_copy(merged, dst, sem).wait()
 
-        # carries for the next tile (from the register value — the buffer
-        # is in flight)
+        # carries for the next tile: extract row p of the register value
+        # via a masked reduction (lax.dynamic_slice has no Pallas TPU
+        # lowering; reading the in-flight DMA buffer would race)
         p = (cc + K) // LANES
-        carry_row[...] = jax.lax.dynamic_slice_in_dim(sh, p, 1, axis=0)
+        carry_row[...] = jnp.sum(
+            jnp.where(_iota((R + 8, LANES), 0) == p, sh, 0),
+            axis=0, keepdims=True)
         carry[2] = carry[2] + K
         carry[0] = xm[R - 1, LANES - 1]
         carry[1] = ls[R - 1, LANES - 1]
