@@ -164,10 +164,14 @@ def _encode_kernel(R: int, grid: int):
         def _():
             pltpu.make_async_copy(merged, dst, sem).wait()
 
-        carry_row[...] = jnp.sum(
-            jnp.where(_iota((R + 8, LANES), 0) == (cc + K) // LANES,
-                      sh, jnp.uint32(0)),
-            axis=0, keepdims=True)
+        # (bitcast through i32: Mosaic has no unsigned reductions; a
+        # one-nonzero-row sum is bit-identical either way)
+        carry_row[...] = jax.lax.bitcast_convert_type(
+            jnp.sum(jnp.where(
+                _iota((R + 8, LANES), 0) == (cc + K) // LANES,
+                jax.lax.bitcast_convert_type(sh, jnp.int32),
+                jnp.int32(0)), axis=0, keepdims=True),
+            jnp.uint32)
         carry[0] = carry[0] + K
         total_ref[0] = carry[0]
     return kernel
