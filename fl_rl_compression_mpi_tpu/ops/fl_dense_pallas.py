@@ -278,7 +278,7 @@ def _decode_kernel(R: int):
     def kernel(woff_ref, nf_ref, bits_ref, dense_hbm, out_ref,
                win, sem):
         n_frames = nf_ref[0]
-        woff = woff_ref[0]
+        woff = woff_ref[pl.program_id(0)]
         nrows = dense_hbm.shape[0]
         awrow = jnp.clip((woff // LANES) & ~7, 0, nrows - W)
         cp = pltpu.make_async_copy(dense_hbm.at[pl.ds(awrow, W)], win, sem)
@@ -372,7 +372,7 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
         _decode_kernel(R),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((1,), lambda i: (i,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
