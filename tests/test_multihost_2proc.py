@@ -55,23 +55,30 @@ def _free_port() -> int:
         return s.getsockname()[1]
 
 
-def _run_two_proc(tmp_path, data, mode):
+def _run_two_proc(tmp_path, data, mode, attempts=3):
     src = str(tmp_path / "in.bin")
     dst = str(tmp_path / ("out." + mode))
     data.tofile(src)
     worker = str(tmp_path / "worker.py")
     with open(worker, "w") as f:
         f.write(WORKER.format(repo=REPO))
-    port = str(_free_port())
     env = dict(os.environ, PYTHONPATH=REPO, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", port, src, dst, mode],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
-        text=True) for i in range(2)]
-    outs = [p.communicate(timeout=240)[0] for p in procs]
-    for p, out in zip(procs, outs):
-        assert p.returncode == 0, out[-2000:]
+    # The probed free port can be snatched before the coordinator binds it
+    # (TOCTOU), and coordinator connects can time out under full-suite
+    # load — both transient, so retry with a fresh port.
+    for attempt in range(attempts):
+        port = str(_free_port())
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), "2", port, src, dst, mode],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            text=True) for i in range(2)]
+        outs = [p.communicate(timeout=240)[0] for p in procs]
+        if all(p.returncode == 0 for p in procs):
+            return dst
+        if attempt == attempts - 1:
+            for p, out in zip(procs, outs):
+                assert p.returncode == 0, out[-2000:]
     return dst
 
 
