@@ -22,6 +22,7 @@ Usage: python bench.py [--size-mb 256] [--method fl|rl] [--json-only]
 """
 
 import argparse
+import functools
 import json
 import sys
 import time
@@ -127,33 +128,35 @@ def main() -> int:
         # per-op paired-differencing above can under-count when identical
         # independent dispatches pipeline through the tunnel (measured
         # "decode" rates above the 819 GB/s HBM peak); chaining each op
-        # on the previous op's output forces true serialization, and the
-        # (1, 1+K) difference cancels the tunnel latency exactly.
+        # on the previous op's output forces true serialization.  The
+        # chain runs INSIDE one jit (lax.fori_loop), so a timed run is a
+        # single dispatch + fence whose device time (~K·1.5 ms) swamps
+        # the ±ms tunnel-RTT jitter that made short host-side chains
+        # misreport (a 6-roundtrip host chain once measured 1193 GB/s >
+        # the 819 GB/s HBM peak); the (1, 1+K) difference still cancels
+        # the per-dispatch latency.
         if use_pallas:
             enc_tile, dec_tile = extra["enc_tile"], extra["dec_tile"]
 
-            @jax.jit
-            def roundtrip(w):
+            def roundtrip(_, w):
                 b, f = fl_pallas.fl_encode_fields_pallas(
                     w, nn, frame_length=128, tile_r=enc_tile)
                 return fl_pallas.fl_decode_fields_pallas(
                     f, b, nn, frame_length=128, tile_r=dec_tile)
 
-            def chain(k):
-                w = words
-                for _ in range(k):
-                    w = roundtrip(w)
-                return w
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def chain(w, k):
+                return jax.lax.fori_loop(0, k, roundtrip, w)
 
-            fence_out = chain(1)
-            jax.device_get(fence_out.ravel()[-1])
-            inner = 6
+            inner = 24
+            jax.device_get(chain(words, 1).ravel()[-1])        # warm both
+            jax.device_get(chain(words, 1 + inner).ravel()[-1])
             ts = []
             for _ in range(args.reps):
                 t0 = time.perf_counter()
-                jax.device_get(chain(1).ravel()[-1])
+                jax.device_get(chain(words, 1).ravel()[-1])
                 t1 = time.perf_counter()
-                jax.device_get(chain(1 + inner).ravel()[-1])
+                jax.device_get(chain(words, 1 + inner).ravel()[-1])
                 t2 = time.perf_counter()
                 ts.append(((t2 - t1) - (t1 - t0)) / inner)
             t_pair = max(float(np.median(ts)), 1e-9)

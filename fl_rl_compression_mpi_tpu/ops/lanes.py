@@ -144,6 +144,54 @@ def suffix_min_flat(x: jax.Array, fill=_I32MAX) -> jax.Array:
     return jnp.minimum(p, acc)
 
 
+def flat_shift_up_dyn(x: jax.Array, m, fill) -> jax.Array:
+    """y_flat[p] = x_flat[p-m] for p ≥ m, else fill — ``m`` a TRACED
+    non-negative scalar < rows·128.
+
+    Bitwise ladder of static flat rotations (each bit of ``m`` applies a
+    fixed-amount rotation under a scalar select), so the lowering uses
+    only the rolls/selects known to be fast — no dynamic sublane rotate.
+    Cost ≈ one prefix scan.  This is what lets routing tiles grow past
+    the 2^15-element dist-field cap: sub-tiles are compacted/expanded
+    independently and merged with one dynamic shift each (round-2 design;
+    see rl_pallas.py)."""
+    rows = x.shape[0]
+    fill = jnp.asarray(fill, x.dtype)
+    m = jnp.asarray(m, jnp.int32)
+    y = x
+    for k in (1, 2, 4, 8, 16, 32, 64):          # lane part of m
+        a = pltpu.roll(y, k, 1)
+        b = pltpu.roll(a, 1, 0)
+        sh = jnp.where(_iota(x.shape, 1) >= k, a, b)
+        y = jnp.where((m & k) != 0, sh, y)
+    k = 1
+    while k < rows:                              # row part of m
+        sh = pltpu.roll(y, k, 0)
+        y = jnp.where((m & (k * LANES)) != 0, sh, y)
+        k *= 2
+    return jnp.where(flat_idx(rows) >= m, y, fill)
+
+
+def flat_shift_down_dyn(x: jax.Array, m, fill) -> jax.Array:
+    """y_flat[p] = x_flat[p+m] for p < rows·128 − m, else fill — ``m`` a
+    TRACED non-negative scalar < rows·128 (see flat_shift_up_dyn)."""
+    rows = x.shape[0]
+    fill = jnp.asarray(fill, x.dtype)
+    m = jnp.asarray(m, jnp.int32)
+    y = x
+    for k in (1, 2, 4, 8, 16, 32, 64):          # lane part of m
+        a = pltpu.roll(y, LANES - k, 1)
+        b = pltpu.roll(a, rows - 1, 0)
+        sh = jnp.where(_iota(x.shape, 1) < LANES - k, a, b)
+        y = jnp.where((m & k) != 0, sh, y)
+    k = 1
+    while k < rows:                              # row part of m
+        sh = pltpu.roll(y, rows - k, 0)
+        y = jnp.where((m & (k * LANES)) != 0, sh, y)
+        k *= 2
+    return jnp.where(flat_idx(rows) < rows * LANES - m, y, fill)
+
+
 # ---------------------------------------------------------------------------
 # Monotone routing networks.  Packed word: live<<31 | dist<<16 | payload16
 # (dist < 2^14; dead elements are the all-zero word).

@@ -39,12 +39,20 @@ from jax.experimental.pallas import tpu as pltpu
 from . import lanes
 from .lanes import LANES, flat_idx, flat_shift_down, flat_shift_up
 
-# Encode tiles cap at 256 rows (2^15 elements — the routing word's dist
-# field); decode at 128 (its +128-slot headroom costs one more bit).
-# Bigger is better on chip: per-tile DMA latency dominates (exp9:
-# 2.6 / 4.9 / 8.1 GB/s at 64 / 128 / 256 encode rows).
+# Routing networks cap at 2^15 elements per SUB-tile (the routing word's
+# dist field: 256 rows for compaction, 128 for expansion with its
+# 1024-slot headroom).  Tiles may span several sub-tiles — each is routed
+# independently at 15 bits and merged with one dynamic flat shift
+# (lanes.flat_shift_up_dyn) — but same-session A/B (exp13) measured
+# multi-sub tiles SLOWER (encode 6.1/4.9/4.5 GB/s at 256/512/1024 rows;
+# decode 8.0/6.5/5.0 at 128/256/512): per-tile DMA traffic scales with
+# the worst-case tile (full merged-buffer emit, full run window), so
+# growing R grows bytes moved, not just amortization.  Defaults stay at
+# one sub-tile per tile.
 TILE_ROWS = int(os.environ.get("FLRL_RL_TILE_ROWS", "256"))
+SUB_ROWS = 256
 DEC_TILE_ROWS = int(os.environ.get("FLRL_RL_DEC_TILE_ROWS", "128"))
+DEC_SUB_ROWS = 128
 LOOK_ROWS = 32            # 4096-byte lookahead ≥ the 255-byte run cap
 _I32MAX = 2 ** 31 - 1
 
@@ -57,8 +65,9 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
-def _encode_kernel(R: int, nbits: int, grid: int):
+def _encode_kernel(R: int, sub: int, grid: int):
     E = R + LOOK_ROWS
+    nbits = (sub * LANES - 1).bit_length()
 
     def kernel(n_ref, xm_ref, xl_ref, out_ref, total_ref,
                carry, carry_row, merged, sem):
@@ -104,27 +113,40 @@ def _encode_kernel(R: int, nbits: int, grid: int):
 
         keep = pflag & (gidx < n) & (_iota((E, LANES), 0) < R)
         psum = lanes.prefix_sum_flat(keep.astype(jnp.int32))
-        dist = fidx - (psum - 1)
-        K = jnp.max(psum)
 
         payload16 = (xe & jnp.int32(0xFF)) | ((cnt & jnp.int32(0xFF)) << 8)
-        w = lanes.pack_route(keep, dist, payload16)
-        wc = lanes.compact_lsb(w[:R], nbits) & jnp.int32(0xFFFF)
 
-        # prepend the cross-tile partial output row, stage, and emit.
+        # Per-sub-tile compaction (dist field caps a network at 2^15
+        # elements): each sub-tile's pieces compact to its own front with
+        # a 15-bit network, then one dynamic flat shift places them at
+        # the running output cursor ``cc + K(<h)``.  Distances stay
+        # monotone within a sub-tile, so collision-freedom is preserved.
+        cc = carry[2] % LANES
+        out_row = carry[2] // LANES
+        sub_idx = flat_idx(sub)
+        sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
+                       & (_iota((R + 8, LANES), 1) < cc),
+                       carry_row[...], jnp.int32(0))
+        kprev = jnp.int32(0)          # pieces emitted by earlier sub-tiles
+        for h in range(R // sub):
+            lo = h * sub
+            keep_h = keep[lo:lo + sub]
+            psum_h = psum[lo:lo + sub]
+            dist_h = sub_idx - (psum_h - kprev - 1)
+            w = lanes.pack_route(keep_h, dist_h,
+                                 payload16[lo:lo + sub])
+            wc = lanes.compact_lsb(w, nbits) & jnp.int32(0xFFFF)
+            part = jnp.concatenate(
+                [wc, jnp.zeros((R + 8 - sub, LANES), jnp.int32)], axis=0)
+            sh = sh | lanes.flat_shift_up_dyn(part, cc + kprev, 0)
+            kprev = jnp.max(psum_h)   # = K(<h+1); psum is monotone
+        K = kprev
+
         # The PREVIOUS tile's DMA is only awaited here — it overlaps this
         # tile's whole compute phase — and because the next DMA starts
         # strictly after the previous completed, the overlapping output
         # regions (junk tails overwritten by the next tile's live data)
         # land in order.
-        cc = carry[2] % LANES
-        out_row = carry[2] // LANES
-        padded = jnp.concatenate(
-            [wc, jnp.zeros((8, LANES), jnp.int32)], axis=0)
-        sh = flat_shift_up(padded, cc, 0)
-        sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
-                       & (_iota((R + 8, LANES), 1) < cc),
-                       carry_row[...], sh)
         dst = out_ref.at[pl.ds(out_row, R + 8)]
 
         @pl.when(i > 0)
@@ -152,9 +174,10 @@ def _encode_kernel(R: int, nbits: int, grid: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows",))
+@functools.partial(jax.jit, static_argnames=("tile_rows", "sub_rows"))
 def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
-                     tile_rows: int | None = None):
+                     tile_rows: int | None = None,
+                     sub_rows: int | None = None):
     """RL encode on device.  ``x2d``: u8[(rows,128)], rows a tile multiple,
     bytes beyond ``n`` zero (standard zero-pad contract — the ``n``
     boundary cut makes pad content irrelevant anyway).
@@ -163,15 +186,16 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
     ``packed[j] = count<<8 | value`` for piece ``j < total``.
     """
     R = TILE_ROWS if tile_rows is None else tile_rows
-    assert R % LOOK_ROWS == 0
+    sub = min(R, SUB_ROWS if sub_rows is None else sub_rows)
+    assert R % LOOK_ROWS == 0 and R % sub == 0
+    assert sub * LANES <= 1 << 15, "sub-tile exceeds the 15-bit dist field"
     rows = x2d.shape[0]
     assert x2d.shape[1] == LANES and rows % R == 0
     grid = rows // R
-    nbits = (R * LANES - 1).bit_length()
     nblk = rows // LOOK_ROWS
 
     packed, total = pl.pallas_call(
-        _encode_kernel(R, nbits, grid),
+        _encode_kernel(R, sub, grid),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -214,18 +238,23 @@ def rl_split_packed(packed: jax.Array):
 # Decode
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(R: int):
-    """Output tiles of (R,128) bytes; a run-cursor window of (R+8)·128 runs
-    is DMA'd per tile from an 8-row-ALIGNED offset (unaligned dynamic-row
-    HBM reads faulted the chip in exp8/exp9; every run ≥ 1 byte, so the
-    window still covers the tile after ≤1023 slots of alignment slack),
-    expanded to start positions with the MSB network (+1024-slot headroom
-    keeps distances positive under that slack), then holes take the
-    previous run's value via a packed prefix-max fill."""
+def _decode_kernel(R: int, sub: int):
+    """Output tiles of (R,128) bytes; ONE run-cursor window of (R+8)·128
+    runs is DMA'd per tile from an 8-row-ALIGNED offset (unaligned
+    dynamic-row HBM reads faulted the chip in exp8/exp9; every run ≥ 1
+    byte, so the window covers the whole tile after ≤1023 slots of
+    alignment slack).  The tile is decoded in (sub,128)-byte halves —
+    the expansion network's dist field caps one pass at 2^15 slots — by
+    dynamically shifting the window down to each half's straddling run
+    (lanes.flat_shift_down_dyn; in-VMEM, no alignment constraint), then
+    expanding to start positions with the MSB network (+1024-slot
+    headroom keeps distances positive under the DMA slack) and filling
+    holes with the previous run's value via a packed prefix-max."""
     W_ROWS = R + 8
     HEAD = 8 * LANES          # 1024-slot headroom
-    E_ROWS = W_ROWS + 8       # expansion workspace rows
-    nbits = (R * LANES + HEAD - 1).bit_length()
+    SW = sub + 8              # per-half window view rows
+    E_ROWS = SW + 8           # expansion workspace rows
+    nbits = (sub * LANES + HEAD - 1).bit_length()
 
     def kernel(starts_hbm, vals_hbm, out_ref, carry, starts_w, vals_w,
                sem0, sem1):
@@ -241,50 +270,72 @@ def _decode_kernel(R: int):
         arow = jnp.clip((j0 // LANES) & ~7, 0, nrows - W_ROWS)
         cp0 = pltpu.make_async_copy(
             starts_hbm.at[pl.ds(arow, W_ROWS)], starts_w, sem0)
-        cp0.start()
-        cp0.wait()
         cp1 = pltpu.make_async_copy(
             vals_hbm.at[pl.ds(arow, W_ROWS)], vals_w, sem1)
+        cp0.start()
         cp1.start()
+        cp0.wait()
         cp1.wait()
 
         base = i * R * LANES
         st = starts_w[...]
-        t = st - base
-        live = (t >= 0) & (t < R * LANES)
-        q = flat_idx(W_ROWS)
-        dist = t + HEAD - q       # headroom keeps live distances > 0
-        w = lanes.pack_route(live, dist, vals_w[...] & jnp.int32(0xFF))
-        wpad = jnp.concatenate([w, jnp.zeros((8, LANES), jnp.int32)],
-                               axis=0)
-        we = lanes.expand_msb(wpad, nbits)
-
-        # hole fill: later run starts win (index-dominant packing); the
-        # headroom slot 0 seeds the straddling run's carried value
+        vl = vals_w[...] & jnp.int32(0xFF)
+        q = flat_idx(SW)
         fidx = flat_idx(E_ROWS)
-        fv = jnp.where(we < 0,
-                       ((fidx + 1) << 9) | jnp.int32(1 << 8)
-                       | (we & jnp.int32(0xFF)),
-                       jnp.int32(0))
-        fv = jnp.where(fidx == 0, (1 << 8) | carry[1], fv)
-        filled = lanes.prefix_max_flat(fv)
-        out_ref[...] = (filled[8:R + 8] & jnp.int32(0xFF)).astype(jnp.uint8)
+        seed = carry[1]
+        outs = []
+        for h in range(R // sub):
+            bh = base + h * sub * LANES
+            if h == 0:
+                sth, vlh = st[:SW], vl[:SW]
+            else:
+                # slot of the run straddling byte bh-1 (window order)
+                cnt = jnp.sum((st <= bh - 1).astype(jnp.int32))
+                mh = jnp.maximum(cnt - 1, 0)
+                sth = lanes.flat_shift_down_dyn(st, mh, _I32MAX)[:SW]
+                vlh = lanes.flat_shift_down_dyn(vl, mh, 0)[:SW]
+            t = sth - bh
+            live = (t >= 0) & (t < sub * LANES)
+            w = lanes.pack_route(live, t + HEAD - q, vlh)
+            wpad = jnp.concatenate(
+                [w, jnp.zeros((8, LANES), jnp.int32)], axis=0)
+            we = lanes.expand_msb(wpad, nbits)
+
+            # hole fill: later run starts win (index-dominant packing);
+            # the headroom slot 0 seeds the straddling run's value
+            fv = jnp.where(we < 0,
+                           ((fidx + 1) << 9) | jnp.int32(1 << 8)
+                           | (we & jnp.int32(0xFF)),
+                           jnp.int32(0))
+            fv = jnp.where(fidx == 0, (1 << 8) | seed, fv)
+            filled = lanes.prefix_max_flat(fv)
+            outs.append((filled[8:sub + 8] & jnp.int32(0xFF))
+                        .astype(jnp.uint8))
+            seed = filled[sub + 7, LANES - 1] & jnp.int32(0xFF)
+        out_ref[...] = outs[0] if len(outs) == 1 else jnp.concatenate(
+            outs, axis=0)
 
         # cursor: absolute index of the run containing the tile's last byte
         cntlt = jnp.sum((st <= base + R * LANES - 1).astype(jnp.int32))
         carry[0] = arow * LANES + jnp.maximum(cntlt - 1, 0)
-        carry[1] = filled[R + 7, LANES - 1] & jnp.int32(0xFF)
+        carry[1] = seed
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_rows", "rows_out"))
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "rows_out", "sub_rows"))
 def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
-                     rows_out: int, tile_rows: int | None = None):
+                     rows_out: int, tile_rows: int | None = None,
+                     sub_rows: int | None = None):
     """RL decode on device.  ``counts``/``values``: u8[Rcap] (validity
     bounded by traced ``num_runs``); returns u8[(rows_out,128)] — callers
     slice the flat view ``[:n]``.
     """
     R = DEC_TILE_ROWS if tile_rows is None else tile_rows
+    sub = min(R, DEC_SUB_ROWS if sub_rows is None else sub_rows)
+    assert R % sub == 0
+    assert sub * LANES + 8 * LANES <= 1 << 15, \
+        "decode sub-tile + headroom exceeds the 15-bit dist field"
     assert rows_out % R == 0
     grid = rows_out // R
     rcap = counts.shape[0]
@@ -308,7 +359,7 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
     ).reshape(pad_rows, LANES)
 
     out = pl.pallas_call(
-        _decode_kernel(R),
+        _decode_kernel(R, sub),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),

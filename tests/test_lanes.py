@@ -57,6 +57,24 @@ def test_flat_shift_up(m):
     np.testing.assert_array_equal(got, exp)
 
 
+@pytest.mark.parametrize("m", [0, 1, 63, 127, 128, 129, 500, N - 1])
+def test_flat_shift_dyn(m):
+    """Dynamic (traced-m) shifts match their static counterparts."""
+    x = rng(3).integers(0, 1 << 20, N)
+    mv = np.full(N, m, np.int64)    # traced scalar via array element
+    got = _run(lambda a, mm: lanes.flat_shift_up_dyn(a, mm[0, 0], -3),
+               x, mv)
+    exp = np.full(N, -3, np.int64)
+    exp[m:] = x[:N - m] if m else x
+    np.testing.assert_array_equal(got, exp)
+
+    got = _run(lambda a, mm: lanes.flat_shift_down_dyn(a, mm[0, 0], -7),
+               x, mv)
+    exp = np.full(N, -7, np.int64)
+    exp[:N - m] = x[m:] if m else x
+    np.testing.assert_array_equal(got, exp)
+
+
 def test_prefix_max_flat():
     x = rng(3).integers(-1000, 1000, N)
     got = _run(lambda a: lanes.prefix_max_flat(a), x)

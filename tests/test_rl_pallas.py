@@ -12,24 +12,27 @@ import pytest
 
 from fl_rl_compression_mpi_tpu.ops import rl_jax, rl_numpy, rl_pallas
 
-R = 64  # tile rows under test (8192-byte tiles)
+R = 64   # tile rows under test (8192-byte tiles)
+SUB = 32  # sub-tile rows: 2 routing passes per tile (the multi-sub merge
+# path that production R=512/sub=256 and R=256/sub=128 rely on)
 
 
-def _encode(data):
+def _encode(data, sub=SUB):
     n = data.size
     tile = R * 128
     npad = max(tile, -(-n // tile) * tile)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
     packed, total = rl_pallas.rl_encode_pallas(
-        jnp.asarray(buf.reshape(-1, 128)), jnp.int32(n), tile_rows=R)
+        jnp.asarray(buf.reshape(-1, 128)), jnp.int32(n), tile_rows=R,
+        sub_rows=sub)
     total = int(total)
     packed = np.asarray(packed)[:total]
     return ((packed >> 8) & 0xFF).astype(np.uint8), \
         (packed & 0xFF).astype(np.uint8)
 
 
-def _decode(counts, values, n):
+def _decode(counts, values, n, sub=SUB):
     tile = R * 128
     rows_out = max(R, -(-n // tile) * R)
     rcap = -(-max(1, counts.size) // 128) * 128
@@ -39,7 +42,7 @@ def _decode(counts, values, n):
     vbuf[:values.size] = values
     out = rl_pallas.rl_decode_pallas(
         jnp.asarray(cbuf), jnp.asarray(vbuf), jnp.int32(counts.size),
-        rows_out, tile_rows=R)
+        rows_out, tile_rows=R, sub_rows=sub)
     return np.asarray(out).reshape(-1)[:n]
 
 
@@ -61,20 +64,22 @@ def _cases():
     ]
 
 
+@pytest.mark.parametrize("sub", [R, SUB, 16], ids=["sub1", "sub2", "sub4"])
 @pytest.mark.parametrize("name,data", _cases(),
                          ids=[c[0] for c in _cases()])
-def test_encode_matches_golden(name, data):
-    counts, values = _encode(data)
+def test_encode_matches_golden(name, data, sub):
+    counts, values = _encode(data, sub)
     cg, vg = rl_numpy.encode(data)
     np.testing.assert_array_equal(counts, cg)
     np.testing.assert_array_equal(values, vg)
 
 
+@pytest.mark.parametrize("sub", [R, SUB, 16], ids=["sub1", "sub2", "sub4"])
 @pytest.mark.parametrize("name,data", _cases(),
                          ids=[c[0] for c in _cases()])
-def test_decode_roundtrip(name, data):
+def test_decode_roundtrip(name, data, sub):
     cg, vg = rl_numpy.encode(data)
-    np.testing.assert_array_equal(_decode(cg, vg, data.size), data)
+    np.testing.assert_array_equal(_decode(cg, vg, data.size, sub), data)
 
 
 def test_device_dispatch_wrappers(fuzz_inputs):
