@@ -265,6 +265,8 @@ def main() -> int:
         enc, t_enc = timed(lambda: rl_jax.rl_encode_device(data, nn),
                            args.reps, inner=1)
         extra["kernel"] = ("pallas" if rl_jax._use_pallas(npad) else "xla")
+        # No decode window hint: worst-case window measured faster at the
+        # default tile (exp14; see rl_pallas.decode_window_rows).
         out, t_dec = timed(
             lambda: rl_jax.rl_decode_device(enc.counts, enc.values,
                                             enc.num_runs, nn, npad),

@@ -136,13 +136,17 @@ def rl_encode_device(data: jax.Array, n: jax.Array) -> RLEncoded:
 
 def rl_decode_device(counts: jax.Array, values: jax.Array,
                      num_runs: jax.Array, n: jax.Array,
-                     out_pad: int) -> jax.Array:
+                     out_pad: int, win_rows: int | None = None
+                     ) -> jax.Array:
     """Backend-selected RL decode.  Output u8[out_pad]; bytes beyond ``n``
-    are unspecified (callers slice ``[:n]``)."""
+    are unspecified (callers slice ``[:n]``).  ``win_rows``: static
+    run-window hint from `rl_pallas.decode_window_rows` (host counts
+    needed to compute it; None = safe worst case)."""
     if _use_pallas_dec(out_pad) and counts.shape[0] % 128 == 0:
         from . import rl_pallas
         out2d = rl_pallas.rl_decode_pallas(counts, values, num_runs,
-                                           out_pad // 128)
+                                           out_pad // 128,
+                                           win_rows=win_rows)
         return out2d.reshape(-1)
     return rl_decode(counts, values, num_runs, n, out_pad)
 
@@ -187,6 +191,10 @@ def decode(counts: np.ndarray, values: np.ndarray,
     vbuf = np.zeros(rpad, np.uint8)
     vbuf[:r] = values
     out_pad = _pad(n, bucket)
+    # No window hint: at the default 128-row tile the worst-case window
+    # measured FASTER than hinted small windows (10.9 vs 7.5 GB/s,
+    # exp14) — window reads are bandwidth-trivial; per-tile compute
+    # dominates.  Hints pay off only for large multi-sub tiles.
     out = jax.device_get(rl_decode_device(
         jnp.asarray(cbuf), jnp.asarray(vbuf), jnp.int32(r), jnp.int32(n),
         out_pad))

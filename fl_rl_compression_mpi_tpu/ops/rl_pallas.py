@@ -61,6 +61,17 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _EMIT_BUCKETS(R: int):
+    """Static emit-DMA row sizes for an R-row encode tile (smallest
+    covering bucket is selected per tile at runtime)."""
+    out = []
+    b = 8
+    while b < R + 8:
+        out.append(b)
+        b *= 4
+    return out + [R + 8]
+
+
 def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
@@ -142,23 +153,48 @@ def _encode_kernel(R: int, sub: int, grid: int):
             kprev = jnp.max(psum_h)   # = K(<h+1); psum is monotone
         K = kprev
 
-        # The PREVIOUS tile's DMA is only awaited here — it overlaps this
-        # tile's whole compute phase — and because the next DMA starts
-        # strictly after the previous completed, the overlapping output
-        # regions (junk tails overwritten by the next tile's live data)
-        # land in order.
-        dst = out_ref.at[pl.ds(out_row, R + 8)]
+        # BUCKETED emit: only ceil((cc+K)/128) rows of the merged buffer
+        # hold live pieces — for compressible streams that is a few rows,
+        # not R+8 — so the emit DMA copies the smallest static bucket
+        # that covers them (exp13 showed full-buffer emits make write
+        # traffic scale with the worst-case tile: 4× the input bytes).
+        # Junk beyond cc+K inside the last emitted row is overwritten by
+        # the next tile's emit (which starts at that row); the wait
+        # branches on the bucket the PREVIOUS tile actually started so
+        # semaphore byte counts match.  The previous tile's DMA is only
+        # awaited here — it overlaps this tile's whole compute phase —
+        # and because the next DMA starts strictly after the previous
+        # completed, the overlapping rows land in order.
+        rows_used = jnp.maximum((cc + K + LANES - 1) // LANES, 1)
+        bid = jnp.int32(0)
+        for Bk in _EMIT_BUCKETS(R)[:-1]:
+            bid = bid + (rows_used > Bk).astype(jnp.int32)
 
         @pl.when(i > 0)
         def _():
-            pltpu.make_async_copy(merged, dst, sem).wait()
+            for bi, Bk in enumerate(_EMIT_BUCKETS(R)):
+                @pl.when(carry[3] == bi)
+                def _(Bk=Bk):
+                    pltpu.make_async_copy(
+                        merged.at[:Bk], out_ref.at[pl.ds(out_row, Bk)],
+                        sem).wait()
         merged[...] = sh
-        cp = pltpu.make_async_copy(merged, dst, sem)
-        cp.start()
+        for bi, Bk in enumerate(_EMIT_BUCKETS(R)):
+            @pl.when(bid == bi)
+            def _(Bk=Bk):
+                pltpu.make_async_copy(
+                    merged.at[:Bk], out_ref.at[pl.ds(out_row, Bk)],
+                    sem).start()
+        carry[3] = bid
 
         @pl.when(i == grid - 1)
         def _():
-            pltpu.make_async_copy(merged, dst, sem).wait()
+            for bi, Bk in enumerate(_EMIT_BUCKETS(R)):
+                @pl.when(bid == bi)
+                def _(Bk=Bk):
+                    pltpu.make_async_copy(
+                        merged.at[:Bk], out_ref.at[pl.ds(out_row, Bk)],
+                        sem).wait()
 
         # carries for the next tile: extract row p of the register value
         # via a masked reduction (lax.dynamic_slice has no Pallas TPU
@@ -238,19 +274,47 @@ def rl_split_packed(packed: jax.Array):
 # Decode
 # ---------------------------------------------------------------------------
 
-def _decode_kernel(R: int, sub: int):
-    """Output tiles of (R,128) bytes; ONE run-cursor window of (R+8)·128
+def decode_window_rows(counts: np.ndarray, rows_out: int,
+                       tile_rows: int | None = None) -> int:
+    """Static window-row hint for :func:`rl_decode_pallas`: the smallest
+    bucket covering the densest tile's run span plus the 8-row DMA
+    alignment slack.  The default worst-case window (R+8 rows — every
+    output byte its own run) makes the window DMA read ~8 i32 bytes per
+    decoded byte; real streams need a fraction of that, and the hint is
+    exact, so callers holding host counts (CLI, bench) shrink the read
+    traffic by up to 16×.  Buckets (16, 24, 40, 72, 136, …) bound the
+    number of compiled variants."""
+    R = DEC_TILE_ROWS if tile_rows is None else tile_rows
+    c = np.asarray(counts).astype(np.int64)
+    if c.size == 0:
+        return 16
+    starts = np.cumsum(c) - c
+    grid = max(1, rows_out // R)
+    bases = np.arange(grid + 1, dtype=np.int64) * (R * LANES)
+    hi = np.searchsorted(starts, bases[1:], side="left")
+    lo = np.maximum(np.searchsorted(starts, bases[:-1], side="right") - 1, 0)
+    needed = int((hi - lo).max())
+    win = (1023 + needed + LANES - 1) // LANES
+    b = 16
+    while b < min(win, R + 8):
+        b = 8 + (b - 8) * 2
+    return min(b, R + 8)
+
+
+def _decode_kernel(R: int, sub: int, win: int):
+    """Output tiles of (R,128) bytes; ONE run-cursor window of ``win``·128
     runs is DMA'd per tile from an 8-row-ALIGNED offset (unaligned
-    dynamic-row HBM reads faulted the chip in exp8/exp9; every run ≥ 1
-    byte, so the window covers the whole tile after ≤1023 slots of
-    alignment slack).  The tile is decoded in (sub,128)-byte halves —
-    the expansion network's dist field caps one pass at 2^15 slots — by
-    dynamically shifting the window down to each half's straddling run
+    dynamic-row HBM reads faulted the chip in exp8/exp9).  ``win`` must
+    cover the densest tile's run span + alignment slack — the R+8-row
+    worst case (every output byte its own run) always does, and
+    :func:`decode_window_rows` computes the exact bound from host counts.
+    The tile is decoded in (sub,128)-byte halves — the expansion
+    network's dist field caps one pass at 2^15 slots — by dynamically
+    shifting the window down to each half's straddling run
     (lanes.flat_shift_down_dyn; in-VMEM, no alignment constraint), then
     expanding to start positions with the MSB network (+1024-slot
     headroom keeps distances positive under the DMA slack) and filling
     holes with the previous run's value via a packed prefix-max."""
-    W_ROWS = R + 8
     HEAD = 8 * LANES          # 1024-slot headroom
     SW = sub + 8              # per-half window view rows
     E_ROWS = SW + 8           # expansion workspace rows
@@ -267,15 +331,22 @@ def _decode_kernel(R: int, sub: int):
 
         j0 = carry[0]
         nrows = starts_hbm.shape[0]
-        arow = jnp.clip((j0 // LANES) & ~7, 0, nrows - W_ROWS)
+        arow = jnp.clip((j0 // LANES) & ~7, 0, nrows - win)
         cp0 = pltpu.make_async_copy(
-            starts_hbm.at[pl.ds(arow, W_ROWS)], starts_w, sem0)
+            starts_hbm.at[pl.ds(arow, win)], starts_w, sem0)
         cp1 = pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(arow, W_ROWS)], vals_w, sem1)
+            vals_hbm.at[pl.ds(arow, win)], vals_w, sem1)
         cp0.start()
         cp1.start()
         cp0.wait()
         cp1.wait()
+
+        def to_view(x, fill):
+            """Window → (SW,128) per-half view (slice or dead-pad)."""
+            if win >= SW:
+                return x[:SW]
+            return jnp.concatenate(
+                [x, jnp.full((SW - win, LANES), fill, jnp.int32)], axis=0)
 
         base = i * R * LANES
         st = starts_w[...]
@@ -287,13 +358,14 @@ def _decode_kernel(R: int, sub: int):
         for h in range(R // sub):
             bh = base + h * sub * LANES
             if h == 0:
-                sth, vlh = st[:SW], vl[:SW]
+                sth, vlh = to_view(st, _I32MAX), to_view(vl, 0)
             else:
                 # slot of the run straddling byte bh-1 (window order)
                 cnt = jnp.sum((st <= bh - 1).astype(jnp.int32))
                 mh = jnp.maximum(cnt - 1, 0)
-                sth = lanes.flat_shift_down_dyn(st, mh, _I32MAX)[:SW]
-                vlh = lanes.flat_shift_down_dyn(vl, mh, 0)[:SW]
+                sth = to_view(
+                    lanes.flat_shift_down_dyn(st, mh, _I32MAX), _I32MAX)
+                vlh = to_view(lanes.flat_shift_down_dyn(vl, mh, 0), 0)
             t = sth - bh
             live = (t >= 0) & (t < sub * LANES)
             w = lanes.pack_route(live, t + HEAD - q, vlh)
@@ -323,17 +395,25 @@ def _decode_kernel(R: int, sub: int):
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("tile_rows", "rows_out", "sub_rows"))
+                   static_argnames=("tile_rows", "rows_out", "sub_rows",
+                                    "win_rows"))
 def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
                      rows_out: int, tile_rows: int | None = None,
-                     sub_rows: int | None = None):
+                     sub_rows: int | None = None,
+                     win_rows: int | None = None):
     """RL decode on device.  ``counts``/``values``: u8[Rcap] (validity
     bounded by traced ``num_runs``); returns u8[(rows_out,128)] — callers
     slice the flat view ``[:n]``.
+
+    ``win_rows``: static run-window size per tile; None = the always-safe
+    R+8 worst case.  Pass :func:`decode_window_rows`'s exact bound when
+    host counts are available — an UNDERSIZED window silently corrupts.
     """
     R = DEC_TILE_ROWS if tile_rows is None else tile_rows
     sub = min(R, DEC_SUB_ROWS if sub_rows is None else sub_rows)
+    win = R + 8 if win_rows is None else min(win_rows, R + 8)
     assert R % sub == 0
+    assert win % 8 == 0 and 16 <= win <= R + 8
     assert sub * LANES + 8 * LANES <= 1 << 15, \
         "decode sub-tile + headroom exceeds the 15-bit dist field"
     assert rows_out % R == 0
@@ -359,7 +439,7 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
     ).reshape(pad_rows, LANES)
 
     out = pl.pallas_call(
-        _decode_kernel(R, sub),
+        _decode_kernel(R, sub, win),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -370,8 +450,8 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
         out_shape=jax.ShapeDtypeStruct((rows_out, LANES), jnp.uint8),
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
-            pltpu.VMEM((R + 8, LANES), jnp.int32),
-            pltpu.VMEM((R + 8, LANES), jnp.int32),
+            pltpu.VMEM((win, LANES), jnp.int32),
+            pltpu.VMEM((win, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

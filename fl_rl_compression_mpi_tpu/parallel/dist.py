@@ -306,19 +306,19 @@ def rl_compress_sharded(mesh: Mesh, data2d: jax.Array, ns: jax.Array):
     return fn(data2d, ns)
 
 
-def _rl_local_decode(out_pad):
+def _rl_local_decode(out_pad, win_rows):
     def f(counts, values, nr, n):
         return rl_jax.rl_decode_device(counts[0], values[0], nr[0], n[0],
-                                       out_pad)[None]
+                                       out_pad, win_rows=win_rows)[None]
     return f
 
 
 def rl_decompress_sharded(mesh: Mesh, counts2d, values2d, nrs, ns,
-                          out_pad: int):
+                          out_pad: int, win_rows: int | None = None):
     fn = _cached(
-        ("rl_dec", mesh, out_pad),
+        ("rl_dec", mesh, out_pad, win_rows),
         lambda: jax.jit(jax.shard_map(
-            _rl_local_decode(out_pad), mesh=mesh,
+            _rl_local_decode(out_pad, win_rows), mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS, None), P(AXIS), P(AXIS)),
             out_specs=P(AXIS, None), check_vma=False)))
     return fn(counts2d, values2d, nrs, ns)

@@ -32,7 +32,7 @@ def _encode(data, sub=SUB):
         (packed & 0xFF).astype(np.uint8)
 
 
-def _decode(counts, values, n, sub=SUB):
+def _decode(counts, values, n, sub=SUB, win=True):
     tile = R * 128
     rows_out = max(R, -(-n // tile) * R)
     rcap = -(-max(1, counts.size) // 128) * 128
@@ -40,9 +40,10 @@ def _decode(counts, values, n, sub=SUB):
     cbuf[:counts.size] = counts
     vbuf = np.zeros(rcap, np.uint8)
     vbuf[:values.size] = values
+    wr = rl_pallas.decode_window_rows(counts, rows_out, R) if win else None
     out = rl_pallas.rl_decode_pallas(
         jnp.asarray(cbuf), jnp.asarray(vbuf), jnp.int32(counts.size),
-        rows_out, tile_rows=R, sub_rows=sub)
+        rows_out, tile_rows=R, sub_rows=sub, win_rows=wr)
     return np.asarray(out).reshape(-1)[:n]
 
 
@@ -80,6 +81,26 @@ def test_encode_matches_golden(name, data, sub):
 def test_decode_roundtrip(name, data, sub):
     cg, vg = rl_numpy.encode(data)
     np.testing.assert_array_equal(_decode(cg, vg, data.size, sub), data)
+
+
+@pytest.mark.parametrize("name,data", _cases(),
+                         ids=[c[0] for c in _cases()])
+def test_decode_worst_case_window(name, data):
+    """Default (no hint) window = R+8 worst case stays correct."""
+    cg, vg = rl_numpy.encode(data)
+    np.testing.assert_array_equal(
+        _decode(cg, vg, data.size, win=False), data)
+
+
+def test_decode_window_rows_bounds():
+    """The hint covers the densest tile exactly: 1-byte runs demand the
+    full worst-case window; long runs collapse it to the minimum."""
+    dense = np.arange(256, dtype=np.uint8)[
+        np.random.default_rng(0).integers(0, 256, R * 128 * 2)]
+    cg, _ = rl_numpy.encode(dense)
+    assert rl_pallas.decode_window_rows(cg, 2 * R, R) == R + 8
+    cg2, _ = rl_numpy.encode(np.zeros(R * 128 * 4, np.uint8))
+    assert rl_pallas.decode_window_rows(cg2, 4 * R, R) == 16
 
 
 def test_device_dispatch_wrappers(fuzz_inputs):
