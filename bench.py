@@ -136,30 +136,44 @@ def main() -> int:
         # the 819 GB/s HBM peak); the (1, 1+K) difference still cancels
         # the per-dispatch latency.
         if use_pallas:
-            enc_tile, dec_tile = extra["enc_tile"], extra["dec_tile"]
+            def make_chain(enc_tile, dec_tile):
+                def roundtrip(_, w):
+                    b, f = fl_pallas.fl_encode_fields_pallas(
+                        w, nn, frame_length=128, tile_r=enc_tile)
+                    return fl_pallas.fl_decode_fields_pallas(
+                        f, b, nn, frame_length=128, tile_r=dec_tile)
 
-            def roundtrip(_, w):
-                b, f = fl_pallas.fl_encode_fields_pallas(
-                    w, nn, frame_length=128, tile_r=enc_tile)
-                return fl_pallas.fl_decode_fields_pallas(
-                    f, b, nn, frame_length=128, tile_r=dec_tile)
+                @functools.partial(jax.jit, static_argnames=("k",))
+                def chain(w, k):
+                    return jax.lax.fori_loop(0, k, roundtrip, w)
+                return chain
 
-            @functools.partial(jax.jit, static_argnames=("k",))
-            def chain(w, k):
-                return jax.lax.fori_loop(0, k, roundtrip, w)
-
-            inner = 24
-            jax.device_get(chain(words, 1).ravel()[-1])        # warm both
-            jax.device_get(chain(words, 1 + inner).ravel()[-1])
-            ts = []
-            for _ in range(args.reps):
-                t0 = time.perf_counter()
-                jax.device_get(chain(words, 1).ravel()[-1])
-                t1 = time.perf_counter()
+            def time_chain(chain, inner, reps):
+                jax.device_get(chain(words, 1).ravel()[-1])    # warm both
                 jax.device_get(chain(words, 1 + inner).ravel()[-1])
-                t2 = time.perf_counter()
-                ts.append(((t2 - t1) - (t1 - t0)) / inner)
-            t_pair = max(float(np.median(ts)), 1e-9)
+                ts = []
+                for _ in range(reps):
+                    t0 = time.perf_counter()
+                    jax.device_get(chain(words, 1).ravel()[-1])
+                    t1 = time.perf_counter()
+                    jax.device_get(chain(words, 1 + inner).ravel()[-1])
+                    t2 = time.perf_counter()
+                    ts.append(((t2 - t1) - (t1 - t0)) / inner)
+                return max(float(np.median(ts)), 1e-9)
+
+            # The chain is auto-tuned DIRECTLY (per-op probes are too
+            # noisy to pick composite tiles — exp15 measured a per-op
+            # "decode 556 GB/s" above the HBM peak while the chain
+            # ranked the same tiles differently).
+            best = None
+            for et, dt in ((2048, 1024), (2048, 512), (1024, 1024)):
+                c = make_chain(et, dt)
+                t = time_chain(c, inner=12, reps=3)
+                if best is None or t < best[0]:
+                    best = (t, et, dt, c)
+            t_pair = time_chain(best[3], inner=24, reps=args.reps)
+            t_pair = min(t_pair, best[0])
+            extra["chain_tiles"] = [best[1], best[2]]
             extra["chained_pair_gbps"] = round(2 * n / 1e9 / t_pair, 1)
             agg_override = 2 * n / 1e9 / t_pair
         else:
