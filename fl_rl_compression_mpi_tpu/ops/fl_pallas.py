@@ -64,21 +64,28 @@ def _frame_widths_mxu(wq: jax.Array, wpf: int):
     Returns ``(b_fpr (R, fpr) i32, b_lane (R, LANES) i32)`` — the compact
     per-frame widths and their broadcast back to every lane (a second tiny
     matmul).  Replaces two log-phase lane-roll trees (~30 VPU ops/word).
+
+    The matmul operands are bf16, which is EXACT here (and, A/B'd on chip
+    in experiments/exp17, worth ~2-6% end to end over f32 operands — the
+    K=4-padded contraction runs at native MXU rate): the 2^(S·w) encoding
+    is pure exponent-field arithmetic and bf16 has f32's 8-bit exponent;
+    the one-hot matrices are 0/1; the widths are ints 1..8 (< 2^7 mantissa
+    cap); accumulation stays f32 via preferred_element_type.
     """
     fpr = LANES // wpf
     spacing = (wpf - 1).bit_length() + 1           # 6 for wpf=32
     v = jax.lax.bitcast_convert_type((spacing * wq + 127) << 23,
-                                     jnp.float32)
+                                     jnp.float32).astype(jnp.bfloat16)
     sel = (jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 0) // wpf
            == jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 1)
-           ).astype(jnp.float32)
+           ).astype(jnp.bfloat16)
     seg = jnp.dot(v, sel, preferred_element_type=jnp.float32)
     e = (jax.lax.bitcast_convert_type(seg, jnp.int32) >> 23) - 127
     b_fpr = e // spacing
     selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
             == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1) // wpf
-            ).astype(jnp.float32)
-    b_lane = jnp.dot(b_fpr.astype(jnp.float32), selT,
+            ).astype(jnp.bfloat16)
+    b_lane = jnp.dot(b_fpr.astype(jnp.bfloat16), selT,
                      preferred_element_type=jnp.float32).astype(jnp.int32)
     return b_fpr, b_lane
 
@@ -123,12 +130,13 @@ def _decode_kernel(wpf: int):
         f = f_ref[...].astype(jnp.uint32)
         # Widths arrive compact (R, fpr); broadcast to lanes on the MXU
         # (a flat->padded reshape outside the kernel would be a
-        # scalar-core relayout — FINDINGS.md).
-        # u8→i32→f32 (Mosaic has no direct u8→f32 cast on hardware)
-        b4 = bits_ref[...].astype(jnp.int32).astype(jnp.float32)
+        # scalar-core relayout — FINDINGS.md).  bf16 operands are exact
+        # for ints 1..8 / one-hot and measurably faster (exp17).
+        # u8→i32→float (Mosaic has no direct u8→float cast on hardware)
+        b4 = bits_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
         selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
                 == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1)
-                // wpf).astype(jnp.float32)
+                // wpf).astype(jnp.bfloat16)
         b = jnp.dot(b4, selT,
                     preferred_element_type=jnp.float32).astype(
                         jnp.int32).astype(jnp.uint32)

@@ -144,6 +144,40 @@ def suffix_min_flat(x: jax.Array, fill=_I32MAX) -> jax.Array:
     return jnp.minimum(p, acc)
 
 
+def suffix_min_flat_bounded(x: jax.Array, span: int, fill=_I32MAX
+                            ) -> jax.Array:
+    """Inclusive suffix-min over a BOUNDED window: ``y[p] = min(x[p : p +
+    span])`` (span a power of two).  For scans whose true dependency range
+    is statically bounded — e.g. the RL 255-byte run cap guarantees the
+    next piece boundary within 255 positions — this replaces the global
+    suffix scan's full row-doubling ladder with ``log2(span)`` rounds."""
+    assert span & (span - 1) == 0, span
+    fill = jnp.asarray(fill, x.dtype)
+    p = x
+    k = 1
+    while k < span:
+        p = jnp.minimum(p, flat_shift_down(p, k, fill))
+        k *= 2
+    return p
+
+
+def flat_shift_up_dyn_lane(x: jax.Array, m, fill) -> jax.Array:
+    """:func:`flat_shift_up_dyn` for a TRACED ``m`` known < 128: only the
+    lane ladder runs (7 rounds), skipping the row ladder entirely.  Used
+    by single-sub-tile RL encode where the merge offset is the output
+    cursor mod 128."""
+    rows = x.shape[0]
+    fill = jnp.asarray(fill, x.dtype)
+    m = jnp.asarray(m, jnp.int32)
+    y = x
+    for k in (1, 2, 4, 8, 16, 32, 64):
+        a = pltpu.roll(y, k, 1)
+        b = pltpu.roll(a, 1, 0)
+        sh = jnp.where(_iota(x.shape, 1) >= k, a, b)
+        y = jnp.where((m & k) != 0, sh, y)
+    return jnp.where(flat_idx(rows) >= m, y, fill)
+
+
 def flat_shift_up_dyn(x: jax.Array, m, fill) -> jax.Array:
     """y_flat[p] = x_flat[p-m] for p ≥ m, else fill — ``m`` a TRACED
     non-negative scalar < rows·128.

@@ -9,8 +9,8 @@ it with the monotone routing networks of ``lanes.py``:
 Encode (one sequential-grid pass over (TILE_ROWS,128)-byte tiles):
   flag run starts (shift-compare with a cross-tile carry byte) → global
   run-start prefix-max (carry) → 255-cap piece flags → per-piece counts
-  via an exclusive suffix-min of boundary indices over a 32-row lookahead
-  window (the cap bounds every count at 255 < 4096 lookahead bytes) →
+  via a 256-wide BOUNDED suffix-min of boundary indices over an 8-row
+  lookahead window (the cap bounds every count at 255 < the window) →
   pack (value|count) and LSB-compact the piece starts → prepend the
   cross-tile partial output row → one dynamic-offset DMA per tile.
   Output: packed i32 stream (count<<8 | value) + total piece count; the
@@ -53,7 +53,8 @@ TILE_ROWS = int(os.environ.get("FLRL_RL_TILE_ROWS", "256"))
 SUB_ROWS = 256
 DEC_TILE_ROWS = int(os.environ.get("FLRL_RL_DEC_TILE_ROWS", "128"))
 DEC_SUB_ROWS = 128
-LOOK_ROWS = 32            # 4096-byte lookahead ≥ the 255-byte run cap
+LOOK_ROWS = 8             # 1024-byte lookahead ≥ the 256-byte suffix
+                          # window that the 255-byte run cap bounds
 _I32MAX = 2 ** 31 - 1
 
 
@@ -113,16 +114,21 @@ def _encode_kernel(R: int, sub: int, grid: int):
         d = gidx - ls
         pflag = s | (d % 255 == 0)
 
-        # count = next boundary − this boundary (exclusive suffix-min of
-        # flagged indices; the cap guarantees it lies inside the
-        # lookahead; clamp with n for the final run)
+        # count = next boundary − this boundary.  The 255-cap guarantees
+        # every flagged position's next flag within 255 positions (the
+        # next natural start or the cap boundary at +255), so a BOUNDED
+        # 256-wide suffix-min replaces the global scan (8 rounds instead
+        # of 16 — and lets the lookahead shrink to 8 rows); clamp with n
+        # for the final run.
         nxt = flat_shift_down(
-            lanes.suffix_min_flat(jnp.where(pflag, gidx, _I32MAX)),
+            lanes.suffix_min_flat_bounded(
+                jnp.where(pflag, gidx, _I32MAX), 256),
             1, _I32MAX)
         nxt = jnp.minimum(nxt, n)
         cnt = nxt - gidx
 
-        keep = pflag & (gidx < n) & (_iota((E, LANES), 0) < R)
+        # only the first R rows can be kept — run the prefix-sum on them
+        keep = pflag[:R] & (gidx[:R] < n)
         psum = lanes.prefix_sum_flat(keep.astype(jnp.int32))
 
         payload16 = (xe & jnp.int32(0xFF)) | ((cnt & jnp.int32(0xFF)) << 8)
@@ -149,7 +155,13 @@ def _encode_kernel(R: int, sub: int, grid: int):
             wc = lanes.compact_lsb(w, nbits) & jnp.int32(0xFFFF)
             part = jnp.concatenate(
                 [wc, jnp.zeros((R + 8 - sub, LANES), jnp.int32)], axis=0)
-            sh = sh | lanes.flat_shift_up_dyn(part, cc + kprev, 0)
+            if h == 0:
+                # first sub-tile: the merge offset is just cc < 128, so
+                # the dyn shift's row ladder is statically dead — lane
+                # ladder only (7 rounds instead of 15+)
+                sh = sh | lanes.flat_shift_up_dyn_lane(part, cc, 0)
+            else:
+                sh = sh | lanes.flat_shift_up_dyn(part, cc + kprev, 0)
             kprev = jnp.max(psum_h)   # = K(<h+1); psum is monotone
         K = kprev
 
