@@ -261,9 +261,6 @@ def run_enc():
                 print(f"enc c32 parity: {ok}", flush=True)
 
 
-attempt("enc", run_enc)
-
-
 def run_dec():
     if "fields" not in GOLD:
         return
@@ -291,9 +288,6 @@ def run_dec():
             else:
                 RESULTS[f"dec_{mode}_{tr}_match"] = bool(
                     np.array_equal(sl, ref))
-
-
-attempt("dec", run_dec)
 
 
 def time_chain(chain, inner=24, reps=5):
@@ -339,9 +333,6 @@ def run_chain():
             continue
         RESULTS[f"chain_{name}_{et}_{dt}_gbps"] = round(2 * N / 1e9 / t, 1)
         print(f"chain {name} {et}/{dt}: {2*N/1e9/t:.1f} GB/s", flush=True)
-
-
-attempt("chain", run_chain)
 
 
 # ---------------------------------------------------- ceiling diagnostics
@@ -431,6 +422,10 @@ def run_ceiling():
               flush=True)
 
 
-attempt("ceiling", run_ceiling)
-
-print(json.dumps(RESULTS), flush=True)
+if __name__ == "__main__":
+    # (import-safe: exp20 reuses the variant builders without re-running)
+    attempt("enc", run_enc)
+    attempt("dec", run_dec)
+    attempt("chain", run_chain)
+    attempt("ceiling", run_ceiling)
+    print(json.dumps(RESULTS), flush=True)
