@@ -161,6 +161,25 @@ def suffix_min_flat_bounded(x: jax.Array, span: int, fill=_I32MAX
     return p
 
 
+def prefix_max_flat_bounded(x: jax.Array, span: int, fill=_I32MIN
+                            ) -> jax.Array:
+    """Inclusive prefix-max over a BOUNDED window: ``y[p] = max(x[p −
+    span + 1 : p + 1])`` (span a power of two).  Mirror of
+    :func:`suffix_min_flat_bounded` — for scans whose true dependency
+    range is statically bounded (e.g. the RL decoder's hole fill, where
+    the 255-byte piece cap keeps every hole within 255 slots of its
+    run-start or seed), ``log2(span)`` rounds replace the global
+    lane-ladder + row-doubling scan."""
+    assert span & (span - 1) == 0, span
+    fill = jnp.asarray(fill, x.dtype)
+    p = x
+    k = 1
+    while k < span:
+        p = jnp.maximum(p, flat_shift_up(p, k, fill))
+        k *= 2
+    return p
+
+
 def flat_shift_up_dyn_lane(x: jax.Array, m, fill) -> jax.Array:
     """:func:`flat_shift_up_dyn` for a TRACED ``m`` known < 128: only the
     lane ladder runs (7 rounds), skipping the row ladder entirely.  Used

@@ -313,96 +313,134 @@ def decode_window_rows(counts: np.ndarray, rows_out: int,
     return min(b, R + 8)
 
 
-def _decode_kernel(R: int, sub: int, win: int):
+def _decode_kernel(R: int, sub: int, win: int, grid: int):
     """Output tiles of (R,128) bytes; ONE run-cursor window of ``win``·128
-    runs is DMA'd per tile from an 8-row-ALIGNED offset (unaligned
-    dynamic-row HBM reads faulted the chip in exp8/exp9).  ``win`` must
-    cover the densest tile's run span + alignment slack — the R+8-row
-    worst case (every output byte its own run) always does, and
+    runs per tile from an 8-row-ALIGNED offset (unaligned dynamic-row
+    HBM reads faulted the chip in exp8/exp9).  ``win`` must cover the
+    densest tile's run span + alignment slack — the R+8-row worst case
+    (every output byte its own run) always does, and
     :func:`decode_window_rows` computes the exact bound from host counts.
+
+    Two round-reduction measures (exp22, same-session A/B):
+
+    * the window DMA is DOUBLE-BUFFERED: the next tile's cursor depends
+      only on the current *window* (a compare-reduce), not on the
+      expansion, so the next window's DMA is issued before this tile's
+      expansion and overlaps it (the old start+wait at tile head
+      serialized ~a DMA latency per ~1.6 µs tile);
+    * the hole fill is a BOUNDED 256-span prefix-max (8 rounds vs the
+      global scan's lane ladder + row doubling): the 255-byte piece cap
+      keeps every hole within 255 slots of its run start, and the
+      straddle seed moves to headroom slot HEAD−1 so the seeded case
+      obeys the same bound.
+
     The tile is decoded in (sub,128)-byte halves — the expansion
     network's dist field caps one pass at 2^15 slots — by dynamically
     shifting the window down to each half's straddling run
     (lanes.flat_shift_down_dyn; in-VMEM, no alignment constraint), then
     expanding to start positions with the MSB network (+1024-slot
-    headroom keeps distances positive under the DMA slack) and filling
-    holes with the previous run's value via a packed prefix-max."""
+    headroom keeps distances positive under the DMA slack)."""
     HEAD = 8 * LANES          # 1024-slot headroom
     SW = sub + 8              # per-half window view rows
     E_ROWS = SW + 8           # expansion workspace rows
     nbits = (sub * LANES + HEAD - 1).bit_length()
 
-    def kernel(starts_hbm, vals_hbm, out_ref, carry, starts_w, vals_w,
-               sem0, sem1):
+    def kernel(starts_hbm, vals_hbm, out_ref, carry, st_a, vl_a,
+               st_b, vl_b, sem0, sem1):
         i = pl.program_id(0)
+        nrows = starts_hbm.shape[0]
+
+        def dma_pair(arow, st_w, vl_w):
+            return (pltpu.make_async_copy(
+                        starts_hbm.at[pl.ds(arow, win)], st_w, sem0),
+                    pltpu.make_async_copy(
+                        vals_hbm.at[pl.ds(arow, win)], vl_w, sem1))
 
         @pl.when(i == 0)
         def _():
-            carry[0] = 0           # run cursor (absolute run index)
             carry[1] = 0           # value of the run straddling tile start
+            carry[2] = 0           # row offset of the pending DMA
+            c0, c1 = dma_pair(0, st_a, vl_a)   # cursor 0 → arow 0
+            c0.start()
+            c1.start()
 
-        j0 = carry[0]
-        nrows = starts_hbm.shape[0]
-        arow = jnp.clip((j0 // LANES) & ~7, 0, nrows - win)
-        cp0 = pltpu.make_async_copy(
-            starts_hbm.at[pl.ds(arow, win)], starts_w, sem0)
-        cp1 = pltpu.make_async_copy(
-            vals_hbm.at[pl.ds(arow, win)], vals_w, sem1)
-        cp0.start()
-        cp1.start()
-        cp0.wait()
-        cp1.wait()
+        def body(st_w, vl_w, st_n, vl_n):
+            arow = carry[2]
+            c0, c1 = dma_pair(arow, st_w, vl_w)
+            c0.wait()
+            c1.wait()
+            base = i * R * LANES
+            st = st_w[...]
+            vl = vl_w[...] & jnp.int32(0xFF)
 
-        def to_view(x, fill):
-            """Window → (SW,128) per-half view (slice or dead-pad)."""
-            if win >= SW:
-                return x[:SW]
-            return jnp.concatenate(
-                [x, jnp.full((SW - win, LANES), fill, jnp.int32)], axis=0)
+            # next tile's cursor needs only this window: issue its DMA
+            # now so it overlaps the expansion below
+            cntlt = jnp.sum((st <= base + R * LANES - 1).astype(jnp.int32))
+            j0n = arow * LANES + jnp.maximum(cntlt - 1, 0)
+            arown = jnp.clip((j0n // LANES) & ~7, 0, nrows - win)
+            carry[2] = arown
 
-        base = i * R * LANES
-        st = starts_w[...]
-        vl = vals_w[...] & jnp.int32(0xFF)
-        q = flat_idx(SW)
-        fidx = flat_idx(E_ROWS)
-        seed = carry[1]
-        outs = []
-        for h in range(R // sub):
-            bh = base + h * sub * LANES
-            if h == 0:
-                sth, vlh = to_view(st, _I32MAX), to_view(vl, 0)
-            else:
-                # slot of the run straddling byte bh-1 (window order)
-                cnt = jnp.sum((st <= bh - 1).astype(jnp.int32))
-                mh = jnp.maximum(cnt - 1, 0)
-                sth = to_view(
-                    lanes.flat_shift_down_dyn(st, mh, _I32MAX), _I32MAX)
-                vlh = to_view(lanes.flat_shift_down_dyn(vl, mh, 0), 0)
-            t = sth - bh
-            live = (t >= 0) & (t < sub * LANES)
-            w = lanes.pack_route(live, t + HEAD - q, vlh)
-            wpad = jnp.concatenate(
-                [w, jnp.zeros((8, LANES), jnp.int32)], axis=0)
-            we = lanes.expand_msb(wpad, nbits)
+            @pl.when(i < grid - 1)
+            def _():
+                n0, n1 = dma_pair(arown, st_n, vl_n)
+                n0.start()
+                n1.start()
 
-            # hole fill: later run starts win (index-dominant packing);
-            # the headroom slot 0 seeds the straddling run's value
-            fv = jnp.where(we < 0,
-                           ((fidx + 1) << 9) | jnp.int32(1 << 8)
-                           | (we & jnp.int32(0xFF)),
-                           jnp.int32(0))
-            fv = jnp.where(fidx == 0, (1 << 8) | seed, fv)
-            filled = lanes.prefix_max_flat(fv)
-            outs.append((filled[8:sub + 8] & jnp.int32(0xFF))
-                        .astype(jnp.uint8))
-            seed = filled[sub + 7, LANES - 1] & jnp.int32(0xFF)
-        out_ref[...] = outs[0] if len(outs) == 1 else jnp.concatenate(
-            outs, axis=0)
+            def to_view(x, fill):
+                """Window → (SW,128) per-half view (slice or dead-pad)."""
+                if win >= SW:
+                    return x[:SW]
+                return jnp.concatenate(
+                    [x, jnp.full((SW - win, LANES), fill, jnp.int32)],
+                    axis=0)
 
-        # cursor: absolute index of the run containing the tile's last byte
-        cntlt = jnp.sum((st <= base + R * LANES - 1).astype(jnp.int32))
-        carry[0] = arow * LANES + jnp.maximum(cntlt - 1, 0)
-        carry[1] = seed
+            q = flat_idx(SW)
+            fidx = flat_idx(E_ROWS)
+            seed = carry[1]
+            outs = []
+            for h in range(R // sub):
+                bh = base + h * sub * LANES
+                if h == 0:
+                    sth, vlh = to_view(st, _I32MAX), to_view(vl, 0)
+                else:
+                    # slot of the run straddling byte bh-1 (window order)
+                    cnt = jnp.sum((st <= bh - 1).astype(jnp.int32))
+                    mh = jnp.maximum(cnt - 1, 0)
+                    sth = to_view(
+                        lanes.flat_shift_down_dyn(st, mh, _I32MAX),
+                        _I32MAX)
+                    vlh = to_view(lanes.flat_shift_down_dyn(vl, mh, 0), 0)
+                t = sth - bh
+                live = (t >= 0) & (t < sub * LANES)
+                w = lanes.pack_route(live, t + HEAD - q, vlh)
+                wpad = jnp.concatenate(
+                    [w, jnp.zeros((8, LANES), jnp.int32)], axis=0)
+                we = lanes.expand_msb(wpad, nbits)
+
+                # hole fill: later run starts win (index-dominant
+                # packing); headroom slot HEAD-1 seeds the straddling
+                # run's value so every hole is ≤ 255 slots from its
+                # source and the 256-span bounded scan suffices
+                fv = jnp.where(we < 0,
+                               ((fidx + 1) << 9) | jnp.int32(1 << 8)
+                               | (we & jnp.int32(0xFF)),
+                               jnp.int32(0))
+                fv = jnp.where(fidx == HEAD - 1, (1 << 8) | seed, fv)
+                filled = lanes.prefix_max_flat_bounded(fv, 256, 0)
+                outs.append((filled[8:sub + 8] & jnp.int32(0xFF))
+                            .astype(jnp.uint8))
+                seed = filled[sub + 7, LANES - 1] & jnp.int32(0xFF)
+            out_ref[...] = outs[0] if len(outs) == 1 else jnp.concatenate(
+                outs, axis=0)
+            carry[1] = seed
+
+        @pl.when(i % 2 == 0)
+        def _():
+            body(st_a, vl_a, st_b, vl_b)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            body(st_b, vl_b, st_a, vl_a)
     return kernel
 
 
@@ -451,7 +489,7 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
     ).reshape(pad_rows, LANES)
 
     out = pl.pallas_call(
-        _decode_kernel(R, sub, win),
+        _decode_kernel(R, sub, win, grid),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -461,7 +499,9 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((rows_out, LANES), jnp.uint8),
         scratch_shapes=[
-            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((3,), jnp.int32),
+            pltpu.VMEM((win, LANES), jnp.int32),
+            pltpu.VMEM((win, LANES), jnp.int32),
             pltpu.VMEM((win, LANES), jnp.int32),
             pltpu.VMEM((win, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
