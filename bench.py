@@ -217,6 +217,54 @@ def main() -> int:
             from fl_rl_compression_mpi_tpu.ops import fl_numpy
             comp_bytes = fl_numpy.compressed_size(host)
 
+        # RL device codec, chained encode→decode pairs in one jit —
+        # captured here so every driver round records RL progress next
+        # to the FL headline (the RL kernels are compute-bound routing
+        # networks; see ops/rl_pallas.py and FINDINGS.md).
+        try:
+            from fl_rl_compression_mpi_tpu.ops import rl_pallas
+            nrl = min(n, 64 << 20)
+            rows_rl = nrl // 128
+            if (use_pallas and rows_rl % rl_pallas.TILE_ROWS == 0
+                    and rows_rl % rl_pallas.DEC_TILE_ROWS == 0):
+                nrl_runs = nrl // 32
+                rl_host = np.repeat(
+                    rng.integers(0, 256, nrl_runs, np.uint8),
+                    rng.integers(16, 112, nrl_runs))[:nrl].copy()
+                x2d = jax.device_put(
+                    jnp.asarray(rl_host.reshape(rows_rl, 128)))
+                nn_rl = jnp.int32(nrl)
+
+                def rl_pair(v):
+                    packed, total = rl_pallas.rl_encode_pallas(v, nn_rl)
+                    c, vv = rl_pallas.rl_split_packed(packed)
+                    return rl_pallas.rl_decode_pallas(c, vv, total,
+                                                      rows_rl)
+
+                @functools.partial(jax.jit, static_argnames=("k",))
+                def rl_chain(v, k):
+                    return jax.lax.fori_loop(0, k,
+                                             lambda _, y: rl_pair(y), v)
+
+                o1 = np.asarray(jax.device_get(rl_chain(x2d, 1)))
+                extra["rl_ok"] = bool(np.array_equal(
+                    o1.reshape(-1), rl_host))
+                inner_rl = 8
+                jax.device_get(rl_chain(x2d, 1 + inner_rl).ravel()[-1])
+                ts = []
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    jax.device_get(rl_chain(x2d, 1).ravel()[-1])
+                    t1 = time.perf_counter()
+                    jax.device_get(
+                        rl_chain(x2d, 1 + inner_rl).ravel()[-1])
+                    t2 = time.perf_counter()
+                    ts.append(((t2 - t1) - (t1 - t0)) / inner_rl)
+                t_rl = max(float(np.median(ts)), 1e-9)
+                extra["rl_pair_gbps"] = round(2 * nrl / 1e9 / t_rl, 2)
+        except Exception as e:          # never break the FL headline
+            extra["rl_pair_error"] = type(e).__name__
+
         # Sharded-vs-bare efficiency on a 1-chip mesh (BASELINE.md:29's
         # scaling-efficiency target, measured where no real ICI traffic
         # exists — pure shard_map overhead).
