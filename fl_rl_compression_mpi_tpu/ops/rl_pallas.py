@@ -444,20 +444,13 @@ def _decode_kernel(R: int, sub: int, win: int, grid: int):
     return kernel
 
 
-@functools.partial(jax.jit,
-                   static_argnames=("tile_rows", "rows_out", "sub_rows",
-                                    "win_rows"))
-def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
-                     rows_out: int, tile_rows: int | None = None,
-                     sub_rows: int | None = None,
-                     win_rows: int | None = None):
-    """RL decode on device.  ``counts``/``values``: u8[Rcap] (validity
-    bounded by traced ``num_runs``); returns u8[(rows_out,128)] — callers
-    slice the flat view ``[:n]``.
+def _decode_impl(cv_of_cap, rcap: int, num_runs, rows_out: int,
+                 tile_rows, sub_rows, win_rows):
+    """Shared decode driver: bucketed prep + window-expansion kernel.
 
-    ``win_rows``: static run-window size per tile; None = the always-safe
-    R+8 worst case.  Pass :func:`decode_window_rows`'s exact bound when
-    host counts are available — an UNDERSIZED window silently corrupts.
+    ``cv_of_cap(cap)`` returns (counts i32[cap], values i32[cap]) for a
+    static truncation ``cap`` — the two public wrappers bind it to
+    separate u8 arrays or to the encoder's packed i32 stream.
     """
     R = DEC_TILE_ROWS if tile_rows is None else tile_rows
     sub = min(R, DEC_SUB_ROWS if sub_rows is None else sub_rows)
@@ -468,14 +461,13 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
         "decode sub-tile + headroom exceeds the 15-bit dist field"
     assert rows_out % R == 0
     grid = rows_out // R
-    rcap = counts.shape[0]
     num_runs = jnp.asarray(num_runs, jnp.int32)
 
     def run_bucket(cap: int):
         """Prep + kernel with the run arrays truncated to ``cap`` slots."""
         # exclusive prefix of counts = run start offsets; dead slots
         # pushed to +inf so they never land in a tile
-        c32 = counts[:cap].astype(jnp.int32)
+        c32, v32 = cv_of_cap(cap)
         starts = jnp.cumsum(c32) - c32
         idx = jnp.arange(cap, dtype=jnp.int32)
         starts = jnp.where(idx < num_runs, starts, _I32MAX)
@@ -488,8 +480,7 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
             st2.reshape(-1), starts, (0,)).reshape(pad_rows, LANES)
         vl2 = jnp.zeros((pad_rows, LANES), jnp.int32)
         vl2 = jax.lax.dynamic_update_slice(
-            vl2.reshape(-1), values[:cap].astype(jnp.int32), (0,)
-        ).reshape(pad_rows, LANES)
+            vl2.reshape(-1), v32, (0,)).reshape(pad_rows, LANES)
 
         return pl.pallas_call(
             _decode_kernel(R, sub, win, grid),
@@ -533,3 +524,48 @@ def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
     which = sum((num_runs > c).astype(jnp.int32) for c in caps[:-1])
     return jax.lax.switch(
         which, [functools.partial(run_bucket, c) for c in caps])
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "rows_out", "sub_rows",
+                                    "win_rows"))
+def rl_decode_pallas(counts: jax.Array, values: jax.Array, num_runs,
+                     rows_out: int, tile_rows: int | None = None,
+                     sub_rows: int | None = None,
+                     win_rows: int | None = None):
+    """RL decode on device.  ``counts``/``values``: u8[Rcap] (validity
+    bounded by traced ``num_runs``); returns u8[(rows_out,128)] — callers
+    slice the flat view ``[:n]``.
+
+    ``win_rows``: static run-window size per tile; None = the always-safe
+    R+8 worst case.  Pass :func:`decode_window_rows`'s exact bound when
+    host counts are available — an UNDERSIZED window silently corrupts.
+    """
+
+    def cv_of_cap(cap):
+        return (counts[:cap].astype(jnp.int32),
+                values[:cap].astype(jnp.int32))
+
+    return _decode_impl(cv_of_cap, counts.shape[0], num_runs, rows_out,
+                        tile_rows, sub_rows, win_rows)
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("tile_rows", "rows_out", "sub_rows",
+                                    "win_rows"))
+def rl_decode_packed_pallas(packed: jax.Array, num_runs, rows_out: int,
+                            tile_rows: int | None = None,
+                            sub_rows: int | None = None,
+                            win_rows: int | None = None):
+    """RL decode directly from :func:`rl_encode_pallas`'s packed i32
+    stream (``count<<8 | value`` per piece) — device-to-device pipelines
+    skip the full-capacity counts/values split entirely; the (cheap)
+    unpack happens inside the bucketed prep on the live truncation only.
+    """
+
+    def cv_of_cap(cap):
+        p = packed[:cap]
+        return ((p >> 8) & 0xFF, p & 0xFF)
+
+    return _decode_impl(cv_of_cap, packed.shape[0], num_runs, rows_out,
+                        tile_rows, sub_rows, win_rows)

@@ -92,6 +92,24 @@ def test_decode_worst_case_window(name, data):
         _decode(cg, vg, data.size, win=False), data)
 
 
+@pytest.mark.parametrize("name,data", _cases(),
+                         ids=[c[0] for c in _cases()])
+def test_decode_packed_roundtrip(name, data):
+    """Packed-stream decode (no counts/values split) matches the input —
+    the device-to-device pipeline path bench.py's rl_pair uses."""
+    n = data.size
+    tile = R * 128
+    npad = max(tile, -(-n // tile) * tile)
+    buf = np.zeros(npad, np.uint8)
+    buf[:n] = data
+    packed, total = rl_pallas.rl_encode_pallas(
+        jnp.asarray(buf.reshape(-1, 128)), jnp.int32(n), tile_rows=R,
+        sub_rows=SUB)
+    out = rl_pallas.rl_decode_packed_pallas(
+        packed, total, npad // 128, tile_rows=R, sub_rows=SUB)
+    np.testing.assert_array_equal(np.asarray(out).reshape(-1)[:n], data)
+
+
 def test_decode_window_rows_bounds():
     """The hint covers the densest tile exactly: 1-byte runs demand the
     full worst-case window; long runs collapse it to the minimum."""
