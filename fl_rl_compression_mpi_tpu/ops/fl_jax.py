@@ -284,11 +284,19 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     n = int(output_size)
     if n == 0 or bits.size == 0:
         return np.zeros(0, np.uint8)
+    # Validate the widths header against the claimed size BEFORE any
+    # size-n work: a corrupt container claiming a huge inputSize must be
+    # rejected in O(1), not after gigabytes of scratch allocation (the
+    # reference segfaults here — fl_cpu.cu:115-141 trusts the header).
+    frames = -(-n // frame_length)
+    if bits.size < frames:
+        raise ValueError(
+            "fl decode: corrupt container (bits array shorter than "
+            f"frame count: {bits.size} < {frames})")
     cap = _device_cap(frame_length)
     if n > cap:
         # per-chunk value offsets from the widths header (the same
         # scan the reference decoder runs, fl_gpu.cu:596-601)
-        frames = -(-n // frame_length)
         counts = np.minimum(
             n - np.arange(frames, dtype=np.int64) * frame_length,
             frame_length)
