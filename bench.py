@@ -229,6 +229,43 @@ def main() -> int:
                 3, inner=4)
             extra["dense_encode_gbps"] = round(n / 1e9 / t_dense, 1)
 
+            # Chained dense encode→decode pair — the fully self-contained
+            # device path (exact container bytes assembled AND consumed on
+            # chip; encoder-emitted per-tile offsets feed the decoder).
+            if (fl_jax._use_dense_dec(128, npad // 4)
+                    and fl_dense_pallas.DENSE_TILE_R
+                    == fl_dense_pallas.DENSE_DEC_TILE_R):
+                def dense_rt(w):
+                    b2, dense, _, woffs = \
+                        fl_dense_pallas.fl_encode_dense_pallas(w, nf)
+                    return fl_dense_pallas.fl_decode_dense_pallas(
+                        dense.reshape(-1, 128), b2, woffs,
+                        nf).reshape(-1)
+
+                @functools.partial(jax.jit, static_argnames=("k",))
+                def dense_chain(w, k):
+                    return jax.lax.fori_loop(
+                        0, k, lambda _, v: dense_rt(v), w)
+
+                o1 = np.asarray(jax.device_get(dense_chain(words, 1)))
+                extra["dense_ok"] = bool(np.array_equal(
+                    o1.view(np.uint8)[:n], host))
+                if extra["dense_ok"]:
+                    inner_d = 6
+                    jax.device_get(
+                        dense_chain(words, 1 + inner_d).ravel()[-1])
+                    ts = []
+                    for _ in range(3):
+                        t0 = time.perf_counter()
+                        jax.device_get(dense_chain(words, 1).ravel()[-1])
+                        t1 = time.perf_counter()
+                        jax.device_get(
+                            dense_chain(words, 1 + inner_d).ravel()[-1])
+                        t2 = time.perf_counter()
+                        ts.append(((t2 - t1) - (t1 - t0)) / inner_d)
+                    t_dp = max(float(np.median(ts)), 1e-9)
+                    extra["dense_pair_gbps"] = round(2 * n / 1e9 / t_dp, 1)
+
         # Host fold/unfold steady-state rate (warm-up first: the very
         # first big call per process pays one-time page provisioning —
         # BENCH_r01's 0.07 GB/s was measuring the hypervisor, not the

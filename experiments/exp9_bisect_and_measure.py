@@ -116,7 +116,7 @@ attempt("dec", run_dec)
 def run_dense():
     nf = jnp.int32(frames)
     for tr in (256, 512):
-        (b2, dense, total), t = timed(
+        (b2, dense, total, _), t = timed(
             lambda: fl_dense_pallas.fl_encode_dense_pallas(
                 words, nf, tile_r=tr), reps=3, inner=4)
         RESULTS[f"dense_tile{tr}"] = round(N / 1e9 / t, 1)

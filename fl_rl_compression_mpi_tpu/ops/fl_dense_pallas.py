@@ -42,9 +42,14 @@ from .lanes import LANES, flat_idx
 
 # Tile cap: the routing word carries dist in bits 16..30, so a tile may
 # hold at most 2^15 elements -> 256 rows (measured 31 GB/s on chip).
-# Decode tiles cap at 128: their 1024-slot alignment headroom costs a bit.
+# Decode tiles also reach 256: although their workspace is R·128 + the
+# 1024-slot alignment headroom (> 2^15 slots at R=256), the true maximum
+# routing DISTANCE is `7·(groups−1) + 1024` — a word's displacement from
+# its window slot to its output group grows only by (8−b) per group — and
+# that stays under 2^15 (exp26; the earlier 128 cap used the conservative
+# workspace-size bound).
 DENSE_TILE_R = int(os.environ.get("FLRL_DENSE_TILE_R", "256"))
-DENSE_DEC_TILE_R = int(os.environ.get("FLRL_DENSE_DEC_TILE_R", "128"))
+DENSE_DEC_TILE_R = int(os.environ.get("FLRL_DENSE_DEC_TILE_R", "256"))
 
 
 def _interpret() -> bool:
@@ -94,7 +99,7 @@ def _pack_groups(fields: jax.Array, b_lane: jax.Array) -> jax.Array:
 def _encode_kernel(R: int, grid: int):
     nbits = (R * LANES - 1).bit_length()
 
-    def kernel(nf_ref, w_ref, bits_ref, out_ref, total_ref,
+    def kernel(nf_ref, w_ref, bits_ref, out_ref, total_ref, woff_ref,
                carry, carry_row, merged, sem):
         i = pl.program_id(0)
         n_frames = nf_ref[0]
@@ -103,6 +108,10 @@ def _encode_kernel(R: int, grid: int):
         def _():
             carry[0] = 0           # emitted-word cursor
             carry_row[...] = jnp.zeros((1, LANES), jnp.uint32)
+        # the cursor at tile start is exactly the decoder's per-tile word
+        # offset (fl_decode_dense_pallas's ``woffs``) — emit it so
+        # device-to-device round trips skip the host offset scan
+        woff_ref[i] = carry[0]
 
         w = w_ref[...].astype(jnp.uint32)
         o = w | (w >> 8)
@@ -183,17 +192,24 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     """Dense FL encode.  ``words`` u32[NW] (NW a tile multiple, bytes
     beyond the input zero); ``n_frames`` = ceil(n/128) (traced).
 
-    Returns ``(bits2d u8[rows, 4], dense u32[(rows+tile+8)·128],
-    total_words i32[])`` — ``dense.view(u8)[:values_size]`` is the exact
+    Returns ``(bits2d u8[rows, 4], dense u32[(rows+tile+32)·128],
+    total_words i32[], woffs i32[grid])`` — ``woffs`` are the per-tile
+    stream word offsets :func:`fl_decode_dense_pallas` wants (valid when
+    the decoder uses the same tile size); ``dense.view(u8)[:values_size]``
+    is the exact
     reference byte stream (trailing bits of the tail frame's last word
-    are zero by the zero-pad contract).
+    are zero by the zero-pad contract).  The 32-row tail slack (the
+    emitter itself needs tile+8) lets :func:`fl_decode_dense_pallas`
+    consume the buffer directly — its clipped window reads need
+    ``rows + R + 16`` rows to exist — so device-to-device round trips
+    skip any repadding copy.
     """
     R = DENSE_TILE_R if tile_r is None else tile_r
     nw = words.shape[0]
     assert nw % (R * LANES) == 0
     grid = nw // (R * LANES)
 
-    bits2d, dense, total = pl.pallas_call(
+    bits2d, dense, total, woffs = pl.pallas_call(
         _encode_kernel(R, grid),
         grid=(grid,),
         in_specs=[
@@ -206,11 +222,14 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct((nw // LANES, 4), jnp.uint8),
-            jax.ShapeDtypeStruct((nw // LANES + R + 8, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nw // LANES + R + 32, LANES),
+                                 jnp.uint32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
+            jax.ShapeDtypeStruct((grid,), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
@@ -223,7 +242,7 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
         interpret=_interpret(),
     )(jnp.asarray(n_frames, jnp.int32).reshape(1),
       words.reshape(nw // LANES, LANES))
-    return bits2d, dense.reshape(-1), total[0]
+    return bits2d, dense.reshape(-1), total[0], woffs
 
 
 # ---------------------------------------------------------------------------
@@ -269,83 +288,122 @@ def _unpack_groups(packed: jax.Array, b_lane: jax.Array) -> jax.Array:
     return out
 
 
-def _decode_kernel(R: int):
+def _decode_kernel(R: int, grid: int):
     HEADR = 8                  # 8-row (1024-slot) alignment headroom
     HEAD = HEADR * LANES
     W = R + 2 * HEADR          # window rows (DMA'd dense words)
-    nbits = (R * LANES + HEAD - 1).bit_length()
+    G = R * (LANES // 8)       # groups per tile
+    # Max routing distance (markers down, data up): a group-g word's
+    # displacement is `8g − rem − egp(g) + HEAD` and egp(g) ≥ g (every
+    # group emits ≥ 1 word), so |dist| ≤ 7·(G−1) + HEAD — far below the
+    # workspace size, which is what lets R reach 256 within the 15-bit
+    # dist field (exp26).
+    nbits = (7 * (G - 1) + HEAD).bit_length()
 
     def kernel(woff_ref, nf_ref, bits_ref, dense_hbm, out_ref,
-               win, sem):
-        n_frames = nf_ref[0]
-        woff = woff_ref[pl.program_id(0)]
-        nrows = dense_hbm.shape[0]
-        awrow = jnp.clip((woff // LANES) & ~7, 0, nrows - W)
-        cp = pltpu.make_async_copy(dense_hbm.at[pl.ds(awrow, W)], win, sem)
-        cp.start()
-        cp.wait()
-        rem = woff - awrow * LANES
-
-        # per-frame widths -> per-lane (MXU broadcast, as fields decode)
-        b4 = bits_ref[...].astype(jnp.int32).astype(jnp.float32)
-        selT = (jax.lax.broadcasted_iota(jnp.int32, (4, LANES), 0)
-                == jax.lax.broadcasted_iota(jnp.int32, (4, LANES), 1)
-                // 32).astype(jnp.float32)
-        b_lane = jnp.dot(b4, selT,
-                         preferred_element_type=jnp.float32).astype(
-                             jnp.int32)
-
+               win_a, win_b, sem_a, sem_b):
         i = pl.program_id(0)
-        fidx = flat_idx(R)
-        lane8 = _iota((R, LANES), 1) % 8
-        gword = i * R * LANES + fidx
-        frame_ok = (gword >> 5) < n_frames
-        gb = jnp.where((lane8 == 0) & frame_ok, b_lane, 0)
-        incl = lanes.prefix_sum_flat(gb)
-        egp = incl - jnp.where(frame_ok, b_lane, 0)
-        K = jnp.max(incl)
+        n_frames = nf_ref[0]
+        nrows = dense_hbm.shape[0]
 
-        # 1. route one marker per group from workspace slot 1024+8g down
-        #    to window slot rem+egp(g); payload = (8g - rem - egp) + 1024
-        mlive = (lane8 == 0) & frame_ok
-        delta = fidx - rem - egp           # == 8g - rem - egp at heads
-        mdist = HEAD + delta
-        mpay = delta + HEAD                # > 0, < HEAD + 128R
-        ws = jnp.concatenate([
-            jnp.zeros((HEADR, LANES), jnp.int32),
-            lanes.pack_route(mlive, mdist, mpay),
-            jnp.zeros((W - R - HEADR, LANES), jnp.int32)], axis=0)
-        ws = lanes.compact_lsb(ws, nbits)
+        def arow_of(j):
+            return jnp.clip((woff_ref[j] // LANES) & ~7, 0, nrows - W)
 
-        # 2. fill: every window slot learns its group's delta
-        sidx = flat_idx(W)
-        fv = jnp.where(ws < 0, ((sidx + 1) << 16) | (ws & jnp.int32(0xFFFF)),
-                       jnp.int32(0))
-        filled = lanes.prefix_max_flat(fv)
-        delta_q = (filled & jnp.int32(0xFFFF)) - HEAD
+        @pl.when(i == 0)
+        def _():
+            pltpu.make_async_copy(dense_hbm.at[pl.ds(arow_of(0), W)],
+                                  win_a, sem_a).start()
 
-        # 3. expand window data up to output positions (+HEAD offset)
-        dlive = (sidx >= rem) & (sidx < rem + K)
-        ddist = delta_q + HEAD             # out' = q + delta + HEAD
-        ctrl = jnp.where(dlive,
-                         jnp.int32(lanes.LIVE) | (ddist << lanes.DIST_SHIFT),
-                         jnp.int32(0))
-        pay = jnp.concatenate([win[...], jnp.zeros((HEADR, LANES),
-                                                   jnp.uint32)], axis=0)
-        ctrl = jnp.concatenate([ctrl, jnp.zeros((HEADR, LANES),
-                                                jnp.int32)], axis=0)
-        ctrl, pay = lanes.expand_msb2(ctrl, pay, nbits)
-        packed = pay[HEADR:HEADR + R]
+        def body(win, sem, nwin, nsem):
+            # The per-tile window offsets are precomputed on host (SMEM
+            # input), so the next tile's window DMA depends on nothing:
+            # issue it first and let it overlap this whole tile's compute.
+            @pl.when(i < grid - 1)
+            def _():
+                pltpu.make_async_copy(
+                    dense_hbm.at[pl.ds(arow_of(i + 1), W)],
+                    nwin, nsem).start()
+            pltpu.make_async_copy(
+                dense_hbm.at[pl.ds(arow_of(i), W)], win, sem).wait()
+            rem = woff_ref[i] - arow_of(i) * LANES
 
-        # 4. unpack groups -> spread fields -> unspread -> bytes
-        f = _unpack_groups(packed, b_lane)
-        b = b_lane.astype(jnp.uint32)
-        mask = (jnp.uint32(1) << b) - jnp.uint32(1)
-        s1 = f >> b
-        s2 = s1 >> b
-        s3 = s2 >> b
-        out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
-                        | ((s2 & mask) << 16) | ((s3 & mask) << 24))
+            # per-frame widths -> per-lane (MXU broadcast, fields decode)
+            b4 = bits_ref[...].astype(jnp.int32).astype(jnp.float32)
+            selT = (jax.lax.broadcasted_iota(jnp.int32, (4, LANES), 0)
+                    == jax.lax.broadcasted_iota(jnp.int32, (4, LANES), 1)
+                    // 32).astype(jnp.float32)
+            b_lane = jnp.dot(b4, selT,
+                             preferred_element_type=jnp.float32).astype(
+                                 jnp.int32)
+
+            fidx = flat_idx(R)
+            lane8 = _iota((R, LANES), 1) % 8
+            gword = i * R * LANES + fidx
+            frame_ok = (gword >> 5) < n_frames
+            gb = jnp.where((lane8 == 0) & frame_ok, b_lane, 0)
+            incl = lanes.prefix_sum_flat(gb)
+            egp = incl - jnp.where(frame_ok, b_lane, 0)
+            K = jnp.max(incl)
+
+            # 1. route one marker per group from workspace slot 1024+8g
+            #    down to window slot rem+egp(g); payload = delta + 1024
+            mlive = (lane8 == 0) & frame_ok
+            delta = fidx - rem - egp       # == 8g - rem - egp at heads
+            mdist = HEAD + delta
+            mpay = delta + HEAD            # > 0, < HEAD + 128R
+            ws = jnp.concatenate([
+                jnp.zeros((HEADR, LANES), jnp.int32),
+                lanes.pack_route(mlive, mdist, mpay),
+                jnp.zeros((W - R - HEADR, LANES), jnp.int32)], axis=0)
+            ws = lanes.compact_lsb(ws, nbits)
+
+            # 2. fill: every window slot learns its group's delta.  A
+            #    group's payload spans b ≤ 8 window slots, so its marker
+            #    is within 7 slots — an 8-span bounded scan (3 rounds)
+            #    replaces the global lane-ladder + row-doubling scan.
+            #    The fill word packs (slot+1) above a 15-BIT payload
+            #    (mpay ≤ 7·(G−1)+HEAD < 2^15): a 16-bit payload field
+            #    would push slot 2^15−1's word past int32 and flip its
+            #    sign, losing max-ordering for the window's last rows
+            #    (R=256 windows have 34k slots).
+            sidx = flat_idx(W)
+            fv = jnp.where(ws < 0,
+                           ((sidx + 1) << 15) | (ws & jnp.int32(0x7FFF)),
+                           jnp.int32(0))
+            filled = lanes.prefix_max_flat_bounded(fv, 8, 0)
+            delta_q = (filled & jnp.int32(0x7FFF)) - HEAD
+
+            # 3. expand window data up to output positions (+HEAD offset)
+            dlive = (sidx >= rem) & (sidx < rem + K)
+            ddist = delta_q + HEAD         # out' = q + delta + HEAD
+            ctrl = jnp.where(
+                dlive,
+                jnp.int32(lanes.LIVE) | (ddist << lanes.DIST_SHIFT),
+                jnp.int32(0))
+            pay = jnp.concatenate([win[...], jnp.zeros((HEADR, LANES),
+                                                       jnp.uint32)], axis=0)
+            ctrl = jnp.concatenate([ctrl, jnp.zeros((HEADR, LANES),
+                                                    jnp.int32)], axis=0)
+            ctrl, pay = lanes.expand_msb2(ctrl, pay, nbits)
+            packed = pay[HEADR:HEADR + R]
+
+            # 4. unpack groups -> spread fields -> unspread -> bytes
+            f = _unpack_groups(packed, b_lane)
+            b = b_lane.astype(jnp.uint32)
+            mask = (jnp.uint32(1) << b) - jnp.uint32(1)
+            s1 = f >> b
+            s2 = s1 >> b
+            s3 = s2 >> b
+            out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
+                            | ((s2 & mask) << 16) | ((s3 & mask) << 24))
+
+        @pl.when(i % 2 == 0)
+        def _():
+            body(win_a, sem_a, win_b, sem_b)
+
+        @pl.when(i % 2 == 1)
+        def _():
+            body(win_b, sem_b, win_a, sem_a)
     return kernel
 
 
@@ -369,7 +427,7 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
     assert woffs.shape[0] == grid
 
     out = pl.pallas_call(
-        _decode_kernel(R),
+        _decode_kernel(R, grid),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -383,6 +441,8 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
         out_shape=jax.ShapeDtypeStruct((rows, LANES), jnp.uint32),
         scratch_shapes=[
             pltpu.VMEM((R + 16, LANES), jnp.uint32),
+            pltpu.VMEM((R + 16, LANES), jnp.uint32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
         compiler_params=pltpu.CompilerParams(

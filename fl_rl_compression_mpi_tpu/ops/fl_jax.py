@@ -253,7 +253,7 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     frames = -(-n // frame_length)
     if _use_dense(frame_length, npad // 4):
         from . import fl_dense_pallas
-        bits2d, dense, _ = fl_dense_pallas.fl_encode_dense_pallas(
+        bits2d, dense, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
             jnp.asarray(buf.view(np.uint32)), jnp.int32(frames))
         bits = np.asarray(jax.device_get(bits2d)).reshape(-1)[:frames]
         counts = np.minimum(

@@ -16,7 +16,7 @@ def _encode(data):
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
     frames = -(-n // 128)
-    bits2d, dense, total = fl_dense_pallas.fl_encode_dense_pallas(
+    bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_pallas(
         jnp.asarray(buf.view(np.uint32)), jnp.int32(frames), tile_r=R)
     return (np.asarray(bits2d).reshape(-1)[:frames],
             np.asarray(dense).view(np.uint8), int(total))
@@ -168,3 +168,29 @@ def test_dist_dense_decode_bit_exact(monkeypatch):
     out = dist.decompress_fl(FLCompressed(bits, values, data.size), mesh,
                              bucket_frames=32)
     np.testing.assert_array_equal(out, data)
+
+
+def test_device_roundtrip_with_encoder_woffs():
+    """Encoder-emitted per-tile word offsets feed the decoder directly
+    (the device-to-device round trip — no host offset scan)."""
+    import jax
+
+    g = np.random.default_rng(13)
+    data = g.integers(0, 32, R * 512 * 4, np.uint8)   # 4 whole tiles
+    words = jnp.asarray(data.view(np.uint32))
+    frames = data.size // 128
+    bits2d, dense, total, woffs = fl_dense_pallas.fl_encode_dense_pallas(
+        words, jnp.int32(frames), tile_r=R)
+    # woffs[t] must equal the decoder-side host scan of the widths
+    bits = np.asarray(bits2d).reshape(-1)[:frames]
+    wper = bits.astype(np.int64).reshape(words.size // (R * 128),
+                                         -1).sum(axis=1) * 4
+    np.testing.assert_array_equal(
+        np.asarray(woffs),
+        np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32))
+    out = fl_dense_pallas.fl_decode_dense_pallas(
+        np.asarray(dense).reshape(-1, 128), bits2d, woffs,
+        jnp.int32(frames), tile_r=R)
+    got = np.ascontiguousarray(
+        np.asarray(jax.device_get(out)).reshape(-1)).view(np.uint8)
+    np.testing.assert_array_equal(got, data)
