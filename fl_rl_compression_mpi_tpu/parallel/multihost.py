@@ -107,6 +107,20 @@ def _pwrite(fd: int, off: int, data: np.ndarray) -> None:
     os.pwrite(fd, memoryview(np.ascontiguousarray(data)), off)
 
 
+def _barrier() -> None:
+    """Completion barrier (the reference's ``MPI_Barrier``,
+    ``fl_gpu.cu:266``): without it, a non-zero process returns from a
+    compress/decompress driver right after ITS last allgather round —
+    while host 0 is still ``pwrite``-ing that round's pieces — and a
+    caller that immediately reads the output file (e.g. a compress →
+    decompress round trip) sees a half-written container.  Observed for
+    real: an RL round trip read back correct run counts with still-zero
+    values.  The allgather only completes once every process (host 0
+    included, after its writes) contributes."""
+    if jax.process_count() > 1:
+        _process_allgather(np.zeros(1, np.int64))
+
+
 def compress_fl_file(input_path: str, output_path: str,
                      frame_length: int = FRAME_LENGTH,
                      bucket_frames: int = 8192,
@@ -160,6 +174,7 @@ def compress_fl_file(input_path: str, output_path: str,
     finally:
         if fd is not None:
             os.close(fd)
+    _barrier()
 
 
 def _file_size(path: str) -> int:
@@ -208,6 +223,7 @@ def compress_rl_file(input_path: str, output_path: str,
     finally:
         if fd is not None:
             os.close(fd)
+    _barrier()
 
 
 def decompress_fl_file(input_path: str, output_path: str,
@@ -279,6 +295,7 @@ def decompress_fl_file(input_path: str, output_path: str,
     finally:
         if fd is not None:
             os.close(fd)
+    _barrier()
 
 
 def decompress_rl_file(input_path: str, output_path: str,
@@ -329,3 +346,4 @@ def decompress_rl_file(input_path: str, output_path: str,
     finally:
         if fd is not None:
             os.close(fd)
+    _barrier()

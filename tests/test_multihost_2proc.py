@@ -31,6 +31,22 @@ WORKER = textwrap.dedent("""
     assert jax.process_count() == nproc
     from fl_rl_compression_mpi_tpu.parallel import multihost
     src, dst, mode = sys.argv[4], sys.argv[5], sys.argv[6]
+    if mode.endswith("-slow"):
+        # Regression rig for the completion-barrier race: delay every
+        # host-0 pwrite so a round-tripping process 1 deterministically
+        # reaches its container read while host 0 is still writing —
+        # only multihost._barrier() makes this safe.  (Reproduced: with
+        # the barrier disabled this decodes zero values for rank 1's
+        # range.)
+        import time
+        mode = mode[: -len("-slow")]
+        orig_pwrite = multihost._pwrite
+        def slow_pwrite(fd, off, data):
+            time.sleep(0.1)
+            orig_pwrite(fd, off, data)
+        multihost._pwrite = slow_pwrite
+        if os.environ.get("FLRL_TEST_NO_BARRIER") == "1":
+            multihost._barrier = lambda: None
     if mode == "fl":
         multihost.compress_fl_file(src, dst, bucket_frames=16, chunk=4096)
     elif mode == "rl":
@@ -122,4 +138,16 @@ def test_two_process_rl_roundtrip_with_distributed_decode(tmp_path):
     data = np.repeat(
         np.random.default_rng(3).integers(0, 16, 700, np.uint8), 173)
     dst = _run_two_proc(tmp_path, data, "rl-roundtrip")
+    np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
+
+
+@pytest.mark.timeout(300)
+def test_rl_roundtrip_barrier_under_slow_writes(tmp_path):
+    """The compress drivers must not release non-zero processes before
+    host 0 finishes writing (multihost._barrier): with host-0 pwrites
+    slowed, a round trip without the barrier reads a half-written
+    container (zero values for rank 1's range)."""
+    data = np.repeat(
+        np.random.default_rng(4).integers(0, 16, 500, np.uint8), 173)
+    dst = _run_two_proc(tmp_path, data, "rl-roundtrip-slow")
     np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
