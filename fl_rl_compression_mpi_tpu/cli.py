@@ -102,6 +102,15 @@ def _run_multihost(args) -> int:
                                        args.frame_length)
         else:
             multihost.compress_rl_file(args.input, args.output)
+        if args.verify:
+            with timed("verification", enabled=args.timers):
+                if not multihost.verify_file_roundtrip(
+                        args.input, args.output, family,
+                        args.frame_length):
+                    print("[ERROR] verification failed: round-trip "
+                          "mismatch", file=sys.stderr)
+                    return 1
+            print("[INFO] verification OK", file=sys.stderr)
     else:
         if family == "fl":
             multihost.decompress_fl_file(args.input, args.output,

@@ -121,6 +121,40 @@ def _barrier() -> None:
         _process_allgather(np.zeros(1, np.int64))
 
 
+def verify_file_roundtrip(input_path: str, container_path: str,
+                          family: str, frame_length: int = FRAME_LENGTH,
+                          chunk: int = 0) -> bool:
+    """Multihost round-trip self-check: distributed-decompress the
+    container to a temp file next to it, byte-compare on process 0, and
+    broadcast the verdict so every process agrees on the exit code."""
+    tmp = container_path + ".verify.tmp"
+    try:
+        if family == "fl":
+            decompress_fl_file(container_path, tmp, frame_length,
+                               chunk=chunk)
+        else:
+            decompress_rl_file(container_path, tmp, chunk=chunk)
+        ok = True
+        if jax.process_index() == 0:
+            ok = os.path.getsize(tmp) == os.path.getsize(input_path)
+            if ok:
+                with open(input_path, "rb") as fa, open(tmp, "rb") as fb:
+                    while True:
+                        a = fa.read(1 << 24)
+                        b = fb.read(1 << 24)
+                        if a != b:
+                            ok = False
+                            break
+                        if not a:
+                            break
+        verdicts = _process_allgather(
+            np.asarray([1 if ok else 0], np.int64))
+        return bool(verdicts.min())
+    finally:
+        if jax.process_index() == 0 and os.path.exists(tmp):
+            os.unlink(tmp)
+
+
 def compress_fl_file(input_path: str, output_path: str,
                      frame_length: int = FRAME_LENGTH,
                      bucket_frames: int = 8192,

@@ -115,6 +115,14 @@ def decompress_fl_stream(input_path: str, output_path: str,
         input_size, bits_size, values_size = _HEADER.unpack(
             fin.read(_HEADER.size))
         bits_all = np.frombuffer(fin.read(bits_size), np.uint8)
+        # Validate before walking: with a short widths array the chunk
+        # loop would run out of frames (nf == 0), decode nothing, and
+        # still advance `produced` — silently truncating the output.
+        if bits_all.size < -(-input_size // frame_length):
+            raise IOError(
+                "[FileIO] corrupt FL container: widths array shorter "
+                f"than frame count ({bits_all.size} < "
+                f"{-(-input_size // frame_length)})")
         frames_per_chunk = chunk // frame_length
         with open(output_path, "wb") as fout:
             fstart = 0

@@ -120,3 +120,18 @@ def test_empty_container_roundtrip(tmp_path):
     assert open(p, "rb").read() == b"\x00" * 24
     c = container.load_fl(p)
     assert c.input_size == 0 and c.bits.size == 0
+
+
+def test_stream_decode_rejects_short_widths(fl_file, tmp_path):
+    """The streaming decoder must reject a widths array shorter than the
+    claimed frame count up front — without the check its chunk loop runs
+    out of frames, decodes nothing, and silently truncates the output."""
+    from fl_rl_compression_mpi_tpu import stream
+    p, _ = fl_file
+    comp = container.load_fl(p)
+    q = str(tmp_path / "short.fl")
+    container.save_fl(q, container.FLCompressed(
+        comp.bits[:10], comp.values, comp.input_size))
+    with pytest.raises(IOError):
+        stream.decompress_fl_stream(q, str(tmp_path / "out.bin"),
+                                    chunk_mb=1)

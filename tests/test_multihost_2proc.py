@@ -60,6 +60,25 @@ WORKER = textwrap.dedent("""
         multihost.compress_rl_file(src, dst + ".rl", bucket_frames=16,
                                    chunk=4096)
         multihost.decompress_rl_file(dst + ".rl", dst, chunk=4096)
+    elif mode == "fl-verify":
+        multihost.compress_fl_file(src, dst, bucket_frames=16, chunk=4096)
+        assert multihost.verify_file_roundtrip(src, dst, "fl", chunk=4096)
+        import shutil
+        bad = dst + ".bad"
+        if jax.process_index() == 0:
+            shutil.copy(dst, bad)
+            import struct
+            with open(bad, "r+b") as f:   # corrupt one PACKED-VALUES byte
+                _, bsz, _ = struct.unpack("<QQQ", f.read(24))
+                off = 24 + bsz + 100      # decodes fine, data differs
+                f.seek(off)
+                b = f.read(1)
+                f.seek(off)
+                f.write(bytes([b[0] ^ 0xFF]))
+        from jax.experimental import multihost_utils
+        multihost_utils.sync_global_devices("bad-file-ready")
+        assert not multihost.verify_file_roundtrip(src, bad, "fl",
+                                                   chunk=4096)
 """)
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -151,3 +170,12 @@ def test_rl_roundtrip_barrier_under_slow_writes(tmp_path):
         np.random.default_rng(4).integers(0, 16, 500, np.uint8), 173)
     dst = _run_two_proc(tmp_path, data, "rl-roundtrip-slow")
     np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_verify_roundtrip(tmp_path):
+    """multihost.verify_file_roundtrip (the CLI --verify path) passes on a
+    good container and fails — on every process — on a corrupted one."""
+    data = np.random.default_rng(5).integers(0, 32, 128 * 400 + 9,
+                                             np.uint8)
+    _run_two_proc(tmp_path, data, "fl-verify")
