@@ -116,8 +116,14 @@ class Native:
                   values: np.ndarray, frame_length: int = 128) -> np.ndarray:
         bits = np.ascontiguousarray(bits, np.uint8)
         values = np.ascontiguousarray(values, np.uint8)
-        if bits.size == 0 or values.size == 0:
+        if output_size == 0:
             return np.zeros(0, np.uint8)
+        if bits.size == 0 or values.size == 0:
+            # A nonzero claimed size with empty payload must be a tagged
+            # error, not a silently empty output.
+            raise ValueError(
+                "fl_decode: corrupt container (empty bits/values for "
+                f"claimed size {output_size})")
         out = np.empty(output_size, np.uint8)
         rc = self._lib.flrl_fl_decode(bits, bits.size, values, values.size,
                                       frame_length, out, output_size)

@@ -135,3 +135,11 @@ def test_stream_decode_rejects_short_widths(fl_file, tmp_path):
     with pytest.raises(IOError):
         stream.decompress_fl_stream(q, str(tmp_path / "out.bin"),
                                     chunk_mb=1)
+
+
+def test_native_decode_rejects_empty_payload_nonzero_claim():
+    nat = get_native()
+    if nat is None:
+        pytest.skip("native unavailable")
+    with pytest.raises(ValueError):
+        nat.fl_decode(1000, np.zeros(0, np.uint8), np.zeros(0, np.uint8))
