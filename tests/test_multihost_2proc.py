@@ -60,6 +60,29 @@ WORKER = textwrap.dedent("""
         multihost.compress_rl_file(src, dst + ".rl", bucket_frames=16,
                                    chunk=4096)
         multihost.decompress_rl_file(dst + ".rl", dst, chunk=4096)
+    elif mode == "fl-bounded":
+        # Pin the streaming merge's memory contract: NO collective round
+        # may carry more than `chunk` bytes per process (the round-1
+        # design allgathered whole payloads — O(total) per process; the
+        # streaming merge is O(P*chunk)).  Wrap the DCN exchange and
+        # record the largest payload that crosses it.
+        peak = {{"bytes": 0}}
+        orig_ag = multihost._process_allgather
+        def tracking_ag(x):
+            peak["bytes"] = max(peak["bytes"], int(x.nbytes))
+            return orig_ag(x)
+        multihost._process_allgather = tracking_ag
+        chunk = 4096
+        multihost.compress_fl_file(src, dst, bucket_frames=16, chunk=chunk)
+        assert peak["bytes"] <= chunk, peak
+        peak["bytes"] = 0
+        multihost.decompress_fl_file(dst, dst + ".out", bucket_frames=16,
+                                     chunk=chunk)
+        assert peak["bytes"] <= chunk, peak
+        import numpy as _np
+        a = _np.fromfile(src, _np.uint8)
+        b = _np.fromfile(dst + ".out", _np.uint8)
+        assert _np.array_equal(a, b)
     elif mode == "fl-verify":
         multihost.compress_fl_file(src, dst, bucket_frames=16, chunk=4096)
         assert multihost.verify_file_roundtrip(src, dst, "fl", chunk=4096)
@@ -179,3 +202,16 @@ def test_two_process_verify_roundtrip(tmp_path):
     data = np.random.default_rng(5).integers(0, 32, 128 * 400 + 9,
                                              np.uint8)
     _run_two_proc(tmp_path, data, "fl-verify")
+
+
+@pytest.mark.timeout(300)
+def test_two_process_streaming_merge_bounded_memory(tmp_path):
+    """VERDICT r1 item 7's acceptance: the multihost merge must move
+    payloads in bounded rounds — no collective may carry more than the
+    round chunk per process (the round-1 design allgathered whole
+    payloads).  The worker wraps the DCN exchange and asserts the
+    largest crossing array, both directions, then byte-checks the
+    round trip."""
+    data = np.random.default_rng(6).integers(0, 32, 128 * 3000 + 21,
+                                             np.uint8)
+    _run_two_proc(tmp_path, data, "fl-bounded")
