@@ -246,3 +246,171 @@ def fl_decode_fields_pallas(fields: jax.Array, bits2d: jax.Array,
 def pad_words(n: int, bucket_words: int = TILE_WORDS) -> int:
     nw = max(1, -(-n // 4))
     return -(-nw // bucket_words) * bucket_words
+
+
+# ---------------------------------------------------------------------------
+# Pack-2 field variants (global max frame width <= 4)
+# ---------------------------------------------------------------------------
+#
+# A width-b frame's field occupies 4·b bits, so when EVERY frame of the
+# array has b <= 4 two field words fit one u32.  With the pack factor
+# chosen globally the kernels stay fully static — no per-tile depth
+# branches, switch dispatch or manual emit DMA (the per-tile dynamic
+# packing those need was refuted in exp21/22/24) — and the encode→decode
+# pair's HBM traffic drops from 4N to 3N bytes.  Chip A/B (exp29,
+# interleaved): pair 352-368 GB/s credited vs 308-328 base, parity-exact.
+#
+# Layout (the tile is the layout unit — encoder and decoder of one array
+# must use the same ``tile_r``): within each (tile_r, 128)-word tile of
+# fields, ``packed[r] = f[r] | f[r + tile_r/2] << 16`` giving a
+# (tile_r/2, 128) u32 block per tile.  Host unpack: view the packed array
+# as (ntiles, tile_r/2, 128); lo 16 bits are tile rows [0, tile_r/2), hi
+# bits rows [tile_r/2, tile_r).
+#
+# VALIDITY is the caller's contract: the encoder packs the low 16 bits of
+# each field unconditionally, so a frame with width > 4 silently corrupts.
+# Callers check ``bits.max() <= 4`` (the widths are produced by this same
+# kernel, and the host always receives them) and fall back to the base
+# kernels — the one speculative re-run costs a kernel pass, ~1% of the
+# device→host transfer it would have halved.
+
+PACK_TILE_R = _TILE_OVERRIDE or int(os.environ.get("FLRL_PACK_TILE_R",
+                                                   "2048"))
+
+
+def _encode_packed_kernel(wpf: int):
+    """Base encode kernel + one shift/or of the tile halves.  Fields of
+    width-<=4 frames are < 2^16, so no masking is needed; a width-5..8
+    frame violates the caller contract (see module comment)."""
+
+    def kernel(w_ref, packed_ref, bits_ref):
+        R = w_ref.shape[0]
+        w = w_ref[...].astype(jnp.uint32)
+        o = w | (w >> 8)
+        o = (o | (o >> 16)) & jnp.uint32(0xFF)
+        wq = _word_widths_f32exp(o)
+        b_fpr, b_lane = _frame_widths_mxu(wq, wpf)
+        bits_ref[...] = b_fpr.astype(jnp.uint8)
+        m = jnp.uint32(1) << b_lane.astype(jnp.uint32)
+        r = w >> 24
+        r = r * m + ((w >> 16) & jnp.uint32(0xFF))
+        r = r * m + ((w >> 8) & jnp.uint32(0xFF))
+        r = r * m + (w & jnp.uint32(0xFF))
+        packed_ref[...] = r[:R // 2] | (r[R // 2:] << 16)
+    return kernel
+
+
+def _decode_packed_kernel(wpf: int):
+    fpr = LANES // wpf
+
+    def kernel(p_ref, bits_ref, out_ref):
+        R = out_ref.shape[0]
+        p = p_ref[...].astype(jnp.uint32)
+        b4 = bits_ref[...].astype(jnp.int32).astype(jnp.bfloat16)
+        selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
+                == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1)
+                // wpf).astype(jnp.bfloat16)
+        b = jnp.dot(b4, selT, preferred_element_type=jnp.float32).astype(
+            jnp.int32).astype(jnp.uint32)
+
+        def dec4(f, bb):
+            mask = (jnp.uint32(1) << bb) - jnp.uint32(1)
+            s1 = f >> bb
+            s2 = s1 >> bb
+            s3 = s2 >> bb
+            return ((f & mask) | ((s1 & mask) << 8)
+                    | ((s2 & mask) << 16) | ((s3 & mask) << 24))
+
+        out_ref[:R // 2] = dec4(p & jnp.uint32(0xFFFF), b[:R // 2])
+        out_ref[R // 2:] = dec4(p >> 16, b[R // 2:])
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "tile_r"))
+def fl_encode_fields_packed_pallas(words: jax.Array, n: jax.Array,
+                                   frame_length: int = FRAME_LENGTH,
+                                   tile_r: int | None = None):
+    """Pack-2 field encode (see the layout/validity comment above).
+
+    Same input contract as :func:`fl_encode_fields_pallas`; returns
+    ``(bits2d u8[rows, 128/wpf], packed u32[NW/2])``.  The caller MUST
+    verify ``bits.max() <= 4`` before trusting ``packed``."""
+    del n
+    tile_r = PACK_TILE_R if tile_r is None else tile_r
+    wpf = frame_length // 4
+    assert _supported(frame_length), frame_length
+    assert tile_r % 16 == 0
+    nw = words.shape[0]
+    assert nw % (tile_r * LANES) == 0, "pad to a pack-tile multiple"
+    grid = nw // (tile_r * LANES)
+    fpr = LANES // wpf
+
+    packed, bits2d = pl.pallas_call(
+        _encode_packed_kernel(wpf),
+        grid=(grid,),
+        in_specs=[pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=[
+            pl.BlockSpec((tile_r // 2, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, fpr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((nw // LANES // 2, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((nw // LANES, fpr), jnp.uint8),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(words.reshape(nw // LANES, LANES))
+    return bits2d, packed.reshape(-1)
+
+
+@functools.partial(jax.jit, static_argnames=("frame_length", "tile_r"))
+def fl_decode_fields_packed_pallas(packed: jax.Array, bits2d: jax.Array,
+                                   n: jax.Array,
+                                   frame_length: int = FRAME_LENGTH,
+                                   tile_r: int | None = None) -> jax.Array:
+    """Inverse of :func:`fl_encode_fields_packed_pallas` — MUST use the
+    same ``tile_r`` (the tile is the layout unit)."""
+    del n
+    tile_r = PACK_TILE_R if tile_r is None else tile_r
+    wpf = frame_length // 4
+    assert _supported(frame_length), frame_length
+    assert tile_r % 16 == 0
+    nw = 2 * packed.shape[0]
+    assert nw % (tile_r * LANES) == 0
+    fpr = LANES // wpf
+    assert bits2d.shape == (nw // LANES, fpr), bits2d.shape
+    grid = nw // (tile_r * LANES)
+
+    out = pl.pallas_call(
+        _decode_packed_kernel(wpf),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile_r // 2, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_r, fpr), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((tile_r, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((nw // LANES, LANES), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(packed.reshape(nw // LANES // 2, LANES), bits2d)
+    return out.reshape(-1)
+
+
+def unpack_fields_p2(packed: np.ndarray, nw: int,
+                     tile_r: int | None = None) -> np.ndarray:
+    """Host unpack of the pack-2 layout → flat u32[nw] fields."""
+    tile_r = PACK_TILE_R if tile_r is None else tile_r
+    q = tile_r // 2
+    p = np.asarray(packed).reshape(-1, q, LANES)
+    out = np.empty((p.shape[0], tile_r, LANES), np.uint32)
+    out[:, :q] = p & 0xFFFF
+    out[:, q:] = p >> 16
+    return out.reshape(-1)[:nw]
