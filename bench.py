@@ -148,6 +148,21 @@ def main() -> int:
                     return jax.lax.fori_loop(0, k, roundtrip, w)
                 return chain
 
+            def make_chain_p2(tile):
+                # Pack-2 field pair (exp29): valid because the measured
+                # global max width is <= 4 (checked below); the tile is
+                # the pack layout unit, shared by both kernels.
+                def roundtrip(_, w):
+                    b, p = fl_pallas.fl_encode_fields_packed_pallas(
+                        w, nn, frame_length=128, tile_r=tile)
+                    return fl_pallas.fl_decode_fields_packed_pallas(
+                        p, b, nn, frame_length=128, tile_r=tile)
+
+                @functools.partial(jax.jit, static_argnames=("k",))
+                def chain(w, k):
+                    return jax.lax.fori_loop(0, k, roundtrip, w)
+                return chain
+
             def time_chain(chain, inner, reps):
                 jax.device_get(chain(words, 1).ravel()[-1])    # warm both
                 jax.device_get(chain(words, 1 + inner).ravel()[-1])
@@ -167,16 +182,27 @@ def main() -> int:
             # ranked the same tiles differently).  The final measurement
             # uses a long inner chain (~100 ms of differenced device
             # time) so the multi-ms tunnel-RTT jitter stays ~1-2%.
+            candidates = [(et, dt, make_chain(et, dt))
+                          for et, dt in ((2048, 1024), (2048, 512),
+                                         (1024, 1024), (2048, 2048),
+                                         (1024, 512))]
+            # Pack-2 candidates (exp29: +13-15% — the pair moves 3N not
+            # 4N) are valid only when every frame's width is <= 4; the
+            # widths from the per-op probe above pin that for this input.
+            wmax = int(bits_h.max()) if bits_h.size else 1
+            if wmax <= 4:
+                for pt in (2048, 1024):
+                    if npad // 4 % (pt * 128) == 0:
+                        candidates.append((-pt, pt, make_chain_p2(pt)))
             best = None
-            for et, dt in ((2048, 1024), (2048, 512), (1024, 1024),
-                           (2048, 2048), (1024, 512)):
-                c = make_chain(et, dt)
+            for et, dt, c in candidates:
                 t = time_chain(c, inner=12, reps=3)
                 if best is None or t < best[0]:
                     best = (t, et, dt, c)
             t_pair = time_chain(best[3], inner=64, reps=args.reps)
             t_pair = min(t_pair, best[0])
             extra["chain_tiles"] = [best[1], best[2]]
+            extra["chain_pack"] = 2 if best[1] < 0 else 1
             extra["chained_pair_gbps"] = round(2 * n / 1e9 / t_pair, 1)
             agg_override = 2 * n / 1e9 / t_pair
 
