@@ -33,6 +33,96 @@ inline int required_bits(uint8_t v) {
   return b;  // >= 1 by construction (floor of 1 for zero bytes)
 }
 
+// Per-frame fold: concatenate wpf fields of 4*b bits each into nbytes
+// output bytes (word-granular fast path for full frames — their payload
+// is 16*b bytes, a multiple of 4; the global tail frame takes the byte
+// path).  Shared by the flat and pack-2 field layouts.
+inline void fold_frame(const uint32_t* in, int wpf, int b4, uint8_t* out,
+                       int64_t nbytes) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t w = 0;
+  int q = 0;
+  if (nbytes % 4 == 0) {
+    const int64_t nwords = nbytes / 4;
+    int64_t ww = 0;
+    for (; q < wpf && ww < nwords; ++q) {
+      acc |= static_cast<uint64_t>(in[q]) << accbits;
+      accbits += b4;
+      while (accbits >= 32 && ww < nwords) {
+        const uint32_t lo = static_cast<uint32_t>(acc);
+        memcpy(out + 4 * ww, &lo, 4);
+        ++ww;
+        acc >>= 32;
+        accbits -= 32;
+      }
+    }
+  } else {
+    for (; q < wpf; ++q) {
+      acc |= static_cast<uint64_t>(in[q]) << accbits;
+      accbits += b4;
+      if (accbits >= 32) {
+        if (w + 4 <= nbytes) {
+          const uint32_t lo = static_cast<uint32_t>(acc);
+          memcpy(out + w, &lo, 4);
+          w += 4;
+          acc >>= 32;
+          accbits -= 32;
+        } else {
+          break;
+        }
+      }
+    }
+    while (w < nbytes) {
+      out[w++] = static_cast<uint8_t>(acc & 0xFF);
+      acc >>= 8;
+    }
+  }
+}
+
+// Per-frame unfold: nbytes of the dense stream -> wpf fields of 4*b bits.
+inline void unfold_frame(const uint8_t* in, int64_t nbytes, int wpf,
+                         int b4, uint64_t fmask, uint32_t* out) {
+  uint64_t acc = 0;
+  int accbits = 0;
+  int64_t r = 0;
+  for (int q = 0; q < wpf; ++q) {
+    while (accbits < b4) {
+      if (r + 4 <= nbytes) {          // word-granular refill
+        uint32_t lo;
+        memcpy(&lo, in + r, 4);
+        acc |= static_cast<uint64_t>(lo) << accbits;
+        r += 4;
+        accbits += 32;
+      } else if (r < nbytes) {
+        acc |= static_cast<uint64_t>(in[r++]) << accbits;
+        accbits += 8;
+      } else {
+        break;
+      }
+    }
+    out[q] = static_cast<uint32_t>(acc & fmask);
+    acc >>= b4;
+    accbits = accbits > b4 ? accbits - b4 : 0;
+  }
+}
+
+// Pack-2 field layout (ops/fl_pallas.py): fields are stored two-per-u32
+// — within each tile of tile_r 128-lane word-rows, packed word r holds
+// field row r in its low 16 bits and field row r + tile_r/2 in its high
+// 16 bits.  Viewed as little-endian u16, field word j (flat index) lives
+// at u16 index p2_idx16(j).  Frames never straddle rows (128 % wpf == 0),
+// so a frame's wpf fields are consecutive u16s with stride 2.
+inline int64_t p2_idx16(int64_t j, int tile_r) {
+  const int64_t row = j >> 7;
+  const int64_t tile = row / tile_r;
+  const int64_t half = tile_r >> 1;
+  const int64_t r = row - tile * tile_r;
+  const int64_t hi = r >= half;
+  const int64_t prow = tile * half + (hi ? r - half : r);
+  return 2 * (prow * 128 + (j & 127)) + hi;
+}
+
 }  // namespace
 
 extern "C" {
@@ -244,54 +334,44 @@ int64_t flrl_fl_fold(const uint32_t* fields, const uint8_t* bits, int64_t n,
 
 #pragma omp parallel for schedule(static)
   for (int64_t f = 0; f < frames; ++f) {
-    const int b4 = 4 * bits[f];
-    const uint32_t* in = fields + f * wpf;
-    uint8_t* out = values_out + offs[f];
-    const int64_t nbytes = offs[f + 1] - offs[f];
-    uint64_t acc = 0;
-    int accbits = 0;
-    int64_t w = 0;
-    // Word-granular emission: flush 4 bytes whenever >= 32 bits are
-    // buffered (unaligned store), trailing partial word flushed bytewise.
-    // Full frames emit b4*wpf/8 = 16*b bytes, always a multiple of 4, so
-    // only the global tail frame takes the byte path.
-    int q = 0;
-    if (nbytes % 4 == 0) {               // full frame: branch-light loop
-      const int64_t nwords = nbytes / 4;
-      int64_t ww = 0;
-      for (; q < wpf && ww < nwords; ++q) {
-        acc |= static_cast<uint64_t>(in[q]) << accbits;
-        accbits += b4;
-        while (accbits >= 32 && ww < nwords) {
-          const uint32_t lo = static_cast<uint32_t>(acc);
-          memcpy(out + 4 * ww, &lo, 4);
-          ++ww;
-          acc >>= 32;
-          accbits -= 32;
-        }
-      }
-      w = 4 * ww;
-    } else {
-      for (; q < wpf; ++q) {
-        acc |= static_cast<uint64_t>(in[q]) << accbits;
-        accbits += b4;
-        if (accbits >= 32) {
-          if (w + 4 <= nbytes) {
-            const uint32_t lo = static_cast<uint32_t>(acc);
-            memcpy(out + w, &lo, 4);
-            w += 4;
-            acc >>= 32;
-            accbits -= 32;
-          } else {
-            break;
-          }
-        }
-      }
-      while (w < nbytes) {
-        out[w++] = static_cast<uint8_t>(acc & 0xFF);
-        acc >>= 8;
-      }
-    }
+    fold_frame(fields + f * wpf, wpf, 4 * bits[f], values_out + offs[f],
+               offs[f + 1] - offs[f]);
+  }
+  delete[] offs;
+  return values_size;
+}
+
+// Pack-2 variant: fields arrive in the packed layout (see p2_idx16).
+// Caller contract: every frame width <= 4 (else -6).  tile_r is the pack
+// layout unit used by the device kernel.
+int64_t flrl_fl_fold_p2(const uint16_t* packed16, const uint8_t* bits,
+                        int64_t n, int frame_len, int tile_r,
+                        uint8_t* values_out) {
+  if (n < 0 || frame_len <= 0 || frame_len % 8 != 0 || tile_r <= 0 ||
+      tile_r % 16 != 0)
+    return -1;
+  if (n == 0) return 0;
+  const int64_t frames = (n + frame_len - 1) / frame_len;
+  const int wpf = frame_len / 4;
+
+  int64_t* offs = new int64_t[frames + 1];
+  offs[0] = 0;
+  for (int64_t f = 0; f < frames; ++f) {
+    if (bits[f] > 4) { delete[] offs; return -6; }
+    const int64_t lo = f * frame_len;
+    const int64_t hi = lo + frame_len < n ? lo + frame_len : n;
+    offs[f + 1] =
+        offs[f] + (static_cast<int64_t>(bits[f]) * (hi - lo) + 7) / 8;
+  }
+  const int64_t values_size = offs[frames];
+
+#pragma omp parallel for schedule(static)
+  for (int64_t f = 0; f < frames; ++f) {
+    uint32_t tmp[128];
+    const int64_t i16 = p2_idx16(f * static_cast<int64_t>(wpf), tile_r);
+    for (int q = 0; q < wpf; ++q) tmp[q] = packed16[i16 + 2 * q];
+    fold_frame(tmp, wpf, 4 * bits[f], values_out + offs[f],
+               offs[f + 1] - offs[f]);
   }
   delete[] offs;
   return values_size;
@@ -324,31 +404,51 @@ int flrl_fl_unfold(const uint8_t* values, int64_t values_size,
   for (int64_t f = 0; f < frames; ++f) {
     const int b4 = 4 * bits[f];
     const uint64_t fmask = (b4 >= 64) ? ~0ULL : ((1ULL << b4) - 1);
-    const uint8_t* in = values + offs[f];
-    const int64_t nbytes = offs[f + 1] - offs[f];
-    uint32_t* out = fields_out + f * wpf;
-    uint64_t acc = 0;
-    int accbits = 0;
-    int64_t r = 0;
-    for (int q = 0; q < wpf; ++q) {
-      while (accbits < b4) {
-        if (r + 4 <= nbytes) {          // word-granular refill
-          uint32_t lo;
-          memcpy(&lo, in + r, 4);
-          acc |= static_cast<uint64_t>(lo) << accbits;
-          r += 4;
-          accbits += 32;
-        } else if (r < nbytes) {
-          acc |= static_cast<uint64_t>(in[r++]) << accbits;
-          accbits += 8;
-        } else {
-          break;
-        }
-      }
-      out[q] = static_cast<uint32_t>(acc & fmask);
-      acc >>= b4;
-      accbits = accbits > b4 ? accbits - b4 : 0;
-    }
+    unfold_frame(values + offs[f], offs[f + 1] - offs[f], wpf, b4, fmask,
+                 fields_out + f * wpf);
+  }
+  delete[] offs;
+  return 0;
+}
+
+// Pack-2 variant of unfold: writes the packed field layout directly (the
+// host->device transfer then moves N/2 bytes).  packed16_out must be
+// ZERO-initialized by the caller and sized to the device padding (frames
+// beyond ceil(n/L) stay zero).  Widths > 4 are rejected (-6); threads
+// write disjoint u16 objects, so the frame-parallel loop is race-free.
+int flrl_fl_unfold_p2(const uint8_t* values, int64_t values_size,
+                      const uint8_t* bits, int64_t bits_size, int64_t n,
+                      int frame_len, int tile_r, uint16_t* packed16_out) {
+  if (n < 0 || frame_len <= 0 || frame_len % 8 != 0 || tile_r <= 0 ||
+      tile_r % 16 != 0)
+    return -1;
+  if (n == 0) return 0;
+  const int64_t frames = (n + frame_len - 1) / frame_len;
+  const int wpf = frame_len / 4;
+  if (frames > bits_size) return -4;
+
+  int64_t* offs = new int64_t[frames + 1];
+  offs[0] = 0;
+  for (int64_t f = 0; f < frames; ++f) {
+    const int64_t lo = f * frame_len;
+    const int64_t hi = lo + frame_len < n ? lo + frame_len : n;
+    if (bits[f] < 1 || bits[f] > 8) { delete[] offs; return -5; }
+    if (bits[f] > 4) { delete[] offs; return -6; }
+    offs[f + 1] =
+        offs[f] + (static_cast<int64_t>(bits[f]) * (hi - lo) + 7) / 8;
+  }
+  if (offs[frames] > values_size) { delete[] offs; return -2; }
+
+#pragma omp parallel for schedule(static)
+  for (int64_t f = 0; f < frames; ++f) {
+    uint32_t tmp[128];
+    const int b4 = 4 * bits[f];
+    const uint64_t fmask = (1ULL << b4) - 1;
+    unfold_frame(values + offs[f], offs[f + 1] - offs[f], wpf, b4, fmask,
+                 tmp);
+    const int64_t i16 = p2_idx16(f * static_cast<int64_t>(wpf), tile_r);
+    for (int q = 0; q < wpf; ++q)
+      packed16_out[i16 + 2 * q] = static_cast<uint16_t>(tmp[q]);
   }
   delete[] offs;
   return 0;

@@ -73,6 +73,55 @@ def unfold(values: np.ndarray, bits: np.ndarray, n: int,
 
 
 # ---------------------------------------------------------------------------
+# Pack-2 layout (two 16-bit fields per u32 when every width <= 4; layout
+# defined in ops/fl_pallas.py — tile halves of ``tile_r`` word-rows).
+# Halves the device<->host field transfer and the host fold's read.
+# ---------------------------------------------------------------------------
+
+def unpack_p2(packed: np.ndarray, nw: int, tile_r: int) -> np.ndarray:
+    """Pack-2 fields → flat u32[nw] fields (NumPy)."""
+    q = tile_r // 2
+    p = np.asarray(packed).reshape(-1, q, 128)
+    out = np.empty((p.shape[0], tile_r, 128), np.uint32)
+    out[:, :q] = p & 0xFFFF
+    out[:, q:] = p >> 16
+    return out.reshape(-1)[:nw]
+
+
+def pack_p2(fields: np.ndarray, tile_r: int) -> np.ndarray:
+    """Flat fields (length a tile multiple) → pack-2 layout (NumPy)."""
+    q = tile_r // 2
+    f = np.asarray(fields, np.uint32).reshape(-1, tile_r, 128)
+    return (f[:, :q] | (f[:, q:] << np.uint32(16))).reshape(-1)
+
+
+def fold_p2(packed: np.ndarray, bits: np.ndarray, n: int,
+            frame_length: int, tile_r: int) -> np.ndarray:
+    """Pack-2 fields + bits → byte-exact packed stream."""
+    nat = get_native()
+    if nat is not None:
+        return nat.fl_fold_p2(packed, bits, n, frame_length, tile_r)
+    frames = -(-n // frame_length)
+    return fold(unpack_p2(packed, frames * (frame_length // 4), tile_r),
+                bits, n, frame_length)
+
+
+def unfold_p2(values: np.ndarray, bits: np.ndarray, n: int,
+              frame_length: int, tile_r: int,
+              packed_words: int) -> np.ndarray:
+    """Packed stream + bits → pack-2 fields u32[packed_words] (zero
+    beyond the live frames).  Caller guarantees max(bits) <= 4."""
+    nat = get_native()
+    if nat is not None:
+        return nat.fl_unfold_p2(values, bits, n, frame_length, tile_r,
+                                packed_words)
+    fields = unfold(values, bits, n, frame_length)
+    buf = np.zeros(2 * packed_words, np.uint32)
+    buf[: fields.size] = fields
+    return pack_p2(buf, tile_r)[:packed_words]
+
+
+# ---------------------------------------------------------------------------
 # End-to-end host APIs — thin aliases of the canonical ones in fl_jax
 # (device fields kernel + host fold), kept for discoverability.
 # ---------------------------------------------------------------------------

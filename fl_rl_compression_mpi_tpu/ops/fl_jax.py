@@ -171,6 +171,21 @@ def _use_pallas(frame_length: int, nw: int) -> bool:
             and nw % fl_pallas.TILE_WORDS == 0)
 
 
+def _use_pack2(frame_length: int, nw: int) -> bool:
+    """Pack-2 fields (two 16-bit fields per u32; ops/fl_pallas.py):
+    valid when every frame width is <= 4, halving the device<->host
+    field transfer and the host fold/unfold traffic.  The encoder
+    SPECULATES (widths are only known after the kernel): on a miss it
+    re-runs the base kernel — one extra pass, ~1% of the transfer the
+    hit halves.  FLRL_NO_PACK=1 disables."""
+    import os
+
+    from . import fl_pallas
+    return (_use_pallas(frame_length, nw)
+            and nw % (fl_pallas.PACK_TILE_R * 128) == 0
+            and os.environ.get("FLRL_NO_PACK") != "1")
+
+
 def _use_dense(frame_length: int, nw: int) -> bool:
     """Dense-on-device encode: the packed byte stream is assembled on the
     TPU (no host fold) and only ratio·N bytes cross device→host.
@@ -263,9 +278,23 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         values = np.asarray(
             jax.device_get(dense[: -(-vsz // 4)])).view(np.uint8)[:vsz]
         return bits, values
+    wpf = frame_length // 4
+    if _use_pack2(frame_length, npad // 4):
+        from . import fl_pallas
+        from .fields import fold_p2
+        b2d, packed_d = fl_pallas.fl_encode_fields_packed_pallas(
+            jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
+        bits = np.asarray(jax.device_get(b2d)).reshape(-1)[:frames]
+        if int(bits.max()) <= 4:
+            tile_w = fl_pallas.PACK_TILE_R * 128
+            need = -(-(frames * wpf) // tile_w) * (tile_w // 2)
+            packed_h = np.asarray(jax.device_get(packed_d[:need]))
+            return bits, fold_p2(packed_h, bits, n, frame_length,
+                                 fl_pallas.PACK_TILE_R)
+        # speculation miss (some width > 4): fall through to the base
+        # kernel — one extra device pass
     bits_d, fields_d = encode_fields_device(
         jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
-    wpf = frame_length // 4
     # Pallas returns bits 2-D (rows, 128/wpf); XLA returns (F,) — both
     # flatten to frame order on host.
     bits = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
@@ -338,9 +367,22 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         return np.ascontiguousarray(
             np.asarray(jax.device_get(out)).reshape(-1)).view(
                 np.uint8)[:n].copy()
-    fields_h = unfold(values, bits, n, frame_length)
     fpad = npad // frame_length
     wpf = frame_length // 4
+    if (_use_pack2(frame_length, npad // 4)
+            and int(bits[:frames].max()) <= 4):
+        from . import fl_pallas
+        from .fields import unfold_p2
+        packed_h = unfold_p2(values, bits[:frames], n, frame_length,
+                             fl_pallas.PACK_TILE_R, npad // 8)
+        b2 = np.zeros(fpad, np.uint8)
+        b2[:frames] = bits[:frames]
+        out = fl_pallas.fl_decode_fields_packed_pallas(
+            jnp.asarray(packed_h),
+            jnp.asarray(b2.reshape(npad // 512, 128 // wpf)),
+            jnp.int32(n), frame_length)
+        return np.asarray(jax.device_get(out)).view(np.uint8)[:n]
+    fields_h = unfold(values, bits, n, frame_length)
     fbuf = np.zeros(fpad * wpf, np.uint32)
     fbuf[: fields_h.size] = fields_h
     bbuf = np.zeros(fpad, np.uint8)
