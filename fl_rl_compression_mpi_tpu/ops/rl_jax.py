@@ -129,7 +129,7 @@ def rl_encode_device(data: jax.Array, n: jax.Array) -> RLEncoded:
         from . import rl_pallas
         packed, total = rl_pallas.rl_encode_pallas(
             data.reshape(-1, 128), n)
-        counts, values = rl_pallas.rl_split_packed(packed)
+        counts, values = rl_pallas.rl_split_packed(packed, total, n)
         return RLEncoded(counts=counts, values=values, num_runs=total)
     return rl_encode(data, n)
 

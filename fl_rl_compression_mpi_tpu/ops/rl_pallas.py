@@ -8,13 +8,17 @@ it with the monotone routing networks of ``lanes.py``:
 
 Encode (one sequential-grid pass over (TILE_ROWS,128)-byte tiles):
   flag run starts (shift-compare with a cross-tile carry byte) → global
-  run-start prefix-max (carry) → 255-cap piece flags → per-piece counts
-  via a 256-wide BOUNDED suffix-min of boundary indices over an 8-row
-  lookahead window (the cap bounds every count at 255 < the window) →
-  pack (value|count) and LSB-compact the piece starts → prepend the
-  cross-tile partial output row → one dynamic-offset DMA per tile.
-  Output: packed i32 stream (count<<8 | value) + total piece count; the
-  XLA wrapper splits counts/values (elementwise).
+  run-start prefix-max carrying the (gidx mod 255) residue → 255-cap
+  piece flags → pack (value | start&0xFF) and LSB-compact the piece
+  starts → prepend the cross-tile partial output row → one
+  dynamic-offset DMA per tile.  Counts are NOT computed in-kernel:
+  consecutive piece starts differ by at most 255 (the cap), so the
+  consumers difference start-mod-256 on the compacted stream — exact,
+  and it deletes the per-byte bounded suffix-min and the lookahead
+  window that dominated the round count (exp27/exp30: pair 7.8-8.0 vs
+  6.4-7.3 GB/s, every interleaved cycle).
+  Output: packed i32 stream ((start & 0xFF) << 8 | value) + total piece
+  count; :func:`rl_split_packed` derives (counts, values).
 
 The piece rule (natural starts + a boundary every 255 bytes within a run)
 is identical to `rl_numpy.encode` / the native C++ host codec, so the
@@ -37,7 +41,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes
-from .lanes import LANES, flat_idx, flat_shift_down, flat_shift_up
+from .lanes import LANES, flat_idx, flat_shift_up
 
 # Routing networks cap at 2^15 elements per SUB-tile (the routing word's
 # dist field: 256 rows for compaction, 128 for expansion with its
@@ -53,8 +57,6 @@ TILE_ROWS = int(os.environ.get("FLRL_RL_TILE_ROWS", "256"))
 SUB_ROWS = 256
 DEC_TILE_ROWS = int(os.environ.get("FLRL_RL_DEC_TILE_ROWS", "128"))
 DEC_SUB_ROWS = 128
-LOOK_ROWS = 8             # 1024-byte lookahead ≥ the 256-byte suffix
-                          # window that the 255-byte run cap bounds
 _I32MAX = 2 ** 31 - 1
 
 
@@ -77,11 +79,20 @@ def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
 
+def _mod255(x):
+    """x mod 255 for x >= 0 via byte folds (256 ≡ 1 mod 255) — the VPU
+    has no fast integer division."""
+    s = ((x & 255) + ((x >> 8) & 255) + ((x >> 16) & 255)
+         + ((x >> 24) & 255))
+    s = (s & 255) + (s >> 8)
+    s = (s & 255) + (s >> 8)
+    return jnp.where(s >= 255, s - 255, s)
+
+
 def _encode_kernel(R: int, sub: int, grid: int):
-    E = R + LOOK_ROWS
     nbits = (sub * LANES - 1).bit_length()
 
-    def kernel(n_ref, xm_ref, xl_ref, out_ref, total_ref,
+    def kernel(n_ref, xm_ref, out_ref, total_ref,
                carry, carry_row, merged, sem):
         i = pl.program_id(0)
         n = n_ref[0]
@@ -89,49 +100,37 @@ def _encode_kernel(R: int, sub: int, grid: int):
         @pl.when(i == 0)
         def _():
             carry[0] = -1          # previous byte (sentinel ≠ any byte)
-            carry[1] = 0           # run-start index carry
+            carry[1] = 0           # (gidx mod 255) of the last run start
             carry[2] = 0           # emitted-piece cursor
             carry_row[...] = jnp.zeros((1, LANES), jnp.int32)
 
         xm = xm_ref[...].astype(jnp.int32)
-        xl = xl_ref[...].astype(jnp.int32)
-        xe = jnp.concatenate([xm, xl], axis=0)          # (E, 128)
         base = i * R * LANES
-        fidx = flat_idx(E)
+        fidx = flat_idx(R)
         gidx = base + fidx
 
-        # run-start flags (value change, stream head, or the n boundary)
-        prev = flat_shift_up(xe, 1, 0)
+        # run-start flags (value change or stream head)
+        prev = flat_shift_up(xm, 1, 0)
         prev = jnp.where(fidx == 0, carry[0], prev)
-        s = (xe != prev) | (gidx == n)
+        s = xm != prev
 
-        # natural run start of each position (global prefix-max + carry)
-        ls = lanes.prefix_max_flat(jnp.where(s, gidx, -1))
-        ls = jnp.maximum(ls, carry[1])
+        # (gidx mod 255) of each position's run start: the tile-local
+        # fidx (< 2^15) rides the high bits of the prefix-max key for
+        # monotonicity and the residue comes along for free
+        gmod = _mod255(gidx)
+        key = jnp.where(s, (fidx << 8) | gmod, -1)
+        r = lanes.prefix_max_flat(key)
+        lsmod = jnp.where(r >= 0, r & 255, carry[1])
 
         # 255-cap piece boundaries (IMPLEMENTATION-PLAN.md:125 semantics:
-        # a boundary every 255 bytes after the natural start)
-        d = gidx - ls
-        pflag = s | (d % 255 == 0)
-
-        # count = next boundary − this boundary.  The 255-cap guarantees
-        # every flagged position's next flag within 255 positions (the
-        # next natural start or the cap boundary at +255), so a BOUNDED
-        # 256-wide suffix-min replaces the global scan (8 rounds instead
-        # of 16 — and lets the lookahead shrink to 8 rows); clamp with n
-        # for the final run.
-        nxt = flat_shift_down(
-            lanes.suffix_min_flat_bounded(
-                jnp.where(pflag, gidx, _I32MAX), 256),
-            1, _I32MAX)
-        nxt = jnp.minimum(nxt, n)
-        cnt = nxt - gidx
-
-        # only the first R rows can be kept — run the prefix-sum on them
-        keep = pflag[:R] & (gidx[:R] < n)
+        # a boundary every 255 bytes after the natural start) — gmod ==
+        # lsmod ⟺ (gidx − run start) ≡ 0 (mod 255), both residues < 255
+        pflag = s | (gmod == lsmod)
+        keep = pflag & (gidx < n)
         psum = lanes.prefix_sum_flat(keep.astype(jnp.int32))
 
-        payload16 = (xe & jnp.int32(0xFF)) | ((cnt & jnp.int32(0xFF)) << 8)
+        payload16 = (xm & jnp.int32(0xFF)) | ((gidx & jnp.int32(0xFF))
+                                              << 8)
 
         # Per-sub-tile compaction (dist field caps a network at 2^15
         # elements): each sub-tile's pieces compact to its own front with
@@ -217,7 +216,7 @@ def _encode_kernel(R: int, sub: int, grid: int):
             axis=0, keepdims=True)
         carry[2] = carry[2] + K
         carry[0] = xm[R - 1, LANES - 1]
-        carry[1] = ls[R - 1, LANES - 1]
+        carry[1] = lsmod[R - 1, LANES - 1]
         total_ref[0] = carry[2]
     return kernel
 
@@ -231,16 +230,18 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
     boundary cut makes pad content irrelevant anyway).
 
     Returns ``(packed i32[(rows + tile + 8)·128], total i32[])`` where
-    ``packed[j] = count<<8 | value`` for piece ``j < total``.
+    ``packed[j] = (start_j & 0xFF) << 8 | value_j`` for piece ``j <
+    total``.  Piece counts follow from mod-256 start differences
+    (consecutive starts are ≤ 255 apart by the cap) — see
+    :func:`rl_split_packed`.
     """
     R = TILE_ROWS if tile_rows is None else tile_rows
     sub = min(R, SUB_ROWS if sub_rows is None else sub_rows)
-    assert R % LOOK_ROWS == 0 and R % sub == 0
+    assert R % sub == 0
     assert sub * LANES <= 1 << 15, "sub-tile exceeds the 15-bit dist field"
     rows = x2d.shape[0]
     assert x2d.shape[1] == LANES and rows % R == 0
     grid = rows // R
-    nblk = rows // LOOK_ROWS
 
     packed, total = pl.pallas_call(
         _encode_kernel(R, sub, grid),
@@ -249,11 +250,6 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((R, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (LOOK_ROWS, LANES),
-                lambda i: (jnp.minimum((i + 1) * (R // LOOK_ROWS),
-                                       nblk - 1), 0),
-                memory_space=pltpu.VMEM),
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
@@ -272,13 +268,21 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
-    )(jnp.asarray(n, jnp.int32).reshape(1), x2d, x2d)
+    )(jnp.asarray(n, jnp.int32).reshape(1), x2d)
     return packed.reshape(-1), total[0]
 
 
-def rl_split_packed(packed: jax.Array):
-    """packed i32 → (counts u8, values u8) (elementwise, jit-fused)."""
-    return (((packed >> 8) & 0xFF).astype(jnp.uint8),
+def rl_split_packed(packed: jax.Array, total: jax.Array, n: jax.Array):
+    """packed starts-stream i32 → (counts u8, values u8) (elementwise,
+    jit-fused).  ``counts[j] = (start_{j+1} − start_j) mod 256`` — exact
+    because the 255 cap bounds every gap — with the final live piece
+    closed by ``n``; entries beyond ``total`` are junk, as before."""
+    s8 = (packed >> 8) & 0xFF
+    nxt = jnp.concatenate([s8[1:], s8[:1]])
+    idx = jnp.arange(packed.shape[0], dtype=jnp.int32)
+    nxt = jnp.where(idx == jnp.asarray(total, jnp.int32) - 1,
+                    jnp.asarray(n, jnp.int32) & 0xFF, nxt)
+    return (((nxt - s8) & 0xFF).astype(jnp.uint8),
             (packed & 0xFF).astype(jnp.uint8))
 
 
@@ -558,14 +562,18 @@ def rl_decode_packed_pallas(packed: jax.Array, num_runs, rows_out: int,
                             sub_rows: int | None = None,
                             win_rows: int | None = None):
     """RL decode directly from :func:`rl_encode_pallas`'s packed i32
-    stream (``count<<8 | value`` per piece) — device-to-device pipelines
-    skip the full-capacity counts/values split entirely; the (cheap)
-    unpack happens inside the bucketed prep on the live truncation only.
-    """
+    stream (``(start & 0xFF) << 8 | value`` per piece) — device-to-device
+    pipelines skip the full-capacity counts/values split entirely; the
+    (cheap) start-differencing happens inside the bucketed prep on the
+    live truncation only.  The final live run's count is junk here —
+    harmless, since only the cumulative starts place runs and nothing
+    beyond the last start is read."""
 
     def cv_of_cap(cap):
         p = packed[:cap]
-        return ((p >> 8) & 0xFF, p & 0xFF)
+        s8 = (p >> 8) & 0xFF
+        nxt = jnp.concatenate([s8[1:], s8[:1]])
+        return (nxt - s8) & 0xFF, p & 0xFF
 
     return _decode_impl(cv_of_cap, packed.shape[0], num_runs, rows_out,
                         tile_rows, sub_rows, win_rows)

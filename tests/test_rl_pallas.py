@@ -26,10 +26,10 @@ def _encode(data, sub=SUB):
     packed, total = rl_pallas.rl_encode_pallas(
         jnp.asarray(buf.reshape(-1, 128)), jnp.int32(n), tile_rows=R,
         sub_rows=sub)
+    counts, values = rl_pallas.rl_split_packed(packed, total,
+                                               jnp.int32(n))
     total = int(total)
-    packed = np.asarray(packed)[:total]
-    return ((packed >> 8) & 0xFF).astype(np.uint8), \
-        (packed & 0xFF).astype(np.uint8)
+    return np.asarray(counts)[:total], np.asarray(values)[:total]
 
 
 def _decode(counts, values, n, sub=SUB, win=True):
