@@ -199,8 +199,16 @@ def main() -> int:
                 t = time_chain(c, inner=12, reps=3)
                 if best is None or t < best[0]:
                     best = (t, et, dt, c)
+            # verify the WINNING chain end-to-end once (the per-op ok
+            # check above does not cover the chained program)
+            chain_out = np.asarray(
+                jax.device_get(best[3](words, 2))).view(np.uint8)
+            ok = ok and bool(np.array_equal(chain_out[:n], host))
+            # the long differenced run (inner=64, median of reps) is the
+            # reported figure; taking min() with the short tuning probes
+            # let a single tunnel hiccup leak through as a >SOL headline
+            # (672 GB/s at chain_vs_copy 2.07 in one driver run)
             t_pair = time_chain(best[3], inner=64, reps=args.reps)
-            t_pair = min(t_pair, best[0])
             extra["chain_tiles"] = [best[1], best[2]]
             extra["chain_pack"] = 2 if best[1] < 0 else 1
             extra["chained_pair_gbps"] = round(2 * n / 1e9 / t_pair, 1)
