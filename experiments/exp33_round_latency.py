@@ -50,8 +50,7 @@ def make(R: int, rows_total: int, parts: int):
         for h, y in enumerate(ys):
             o_ref[h * H:(h + 1) * H] = y
 
-    @jax.jit
-    def run(x):
+    def run1(x):
         return pl.pallas_call(
             kern, grid=(grid,),
             in_specs=[pl.BlockSpec((R, LANES), lambda i: (i, 0),
@@ -59,8 +58,15 @@ def make(R: int, rows_total: int, parts: int):
             out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows_total, LANES), jnp.int32),
-        )(x.reshape(rows_total, LANES))
-    return run
+        )(x)
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnames=("k",))
+    def chain(x, k):
+        return jax.lax.fori_loop(
+            0, k, lambda _, y: run1(y), x.reshape(rows_total, LANES))
+    return chain
 
 
 def main():
@@ -79,19 +85,19 @@ def main():
     variants["inter4-256"] = make(256, rows_total, 4)
     variants["inter2-512"] = make(512, rows_total, 2)
 
+    INNER = 16
     for f in variants.values():
-        fence(f(x))
+        fence(f(x, 1))
+        fence(f(x, 1 + INNER))
 
     for cycle in range(3):
         for name, f in variants.items():
             t0 = time.perf_counter()
-            fence(f(x))
+            fence(f(x, 1))
             t1 = time.perf_counter()
-            for _ in range(4):
-                o = f(x)
-            fence(o)
+            fence(f(x, 1 + INNER))
             t2 = time.perf_counter()
-            t = ((t2 - t1) - (t1 - t0)) / 4
+            t = ((t2 - t1) - (t1 - t0)) / INNER
             print(f"cycle{cycle} {name}: {t*1e3:.2f} ms  "
                   f"round-tput {N * D / 1e9 / t:.0f} GB/s", flush=True)
 
