@@ -225,9 +225,14 @@ def flat_shift_up_dyn(x: jax.Array, m, fill) -> jax.Array:
     return jnp.where(flat_idx(rows) >= m, y, fill)
 
 
-def flat_shift_down_dyn(x: jax.Array, m, fill) -> jax.Array:
+def flat_shift_down_dyn(x: jax.Array, m, fill,
+                        bound: int | None = None) -> jax.Array:
     """y_flat[p] = x_flat[p+m] for p < rows·128 − m, else fill — ``m`` a
-    TRACED non-negative scalar < rows·128 (see flat_shift_up_dyn)."""
+    TRACED non-negative scalar < rows·128 (see flat_shift_up_dyn).
+
+    ``bound``: static exclusive upper bound on ``m`` when the caller
+    knows one (e.g. an 8-row-aligned cursor remainder < 1024) — prunes
+    the row ladder to log2(bound/128) rounds."""
     rows = x.shape[0]
     fill = jnp.asarray(fill, x.dtype)
     m = jnp.asarray(m, jnp.int32)
@@ -238,8 +243,8 @@ def flat_shift_down_dyn(x: jax.Array, m, fill) -> jax.Array:
         sh = jnp.where(_iota(x.shape, 1) < LANES - k, a, b)
         y = jnp.where((m & k) != 0, sh, y)
     k = 1
-    while k < rows:                              # row part of m
-        sh = pltpu.roll(y, rows - k, 0)
+    while k < rows and (bound is None or k * LANES < bound):
+        sh = pltpu.roll(y, rows - k, 0)          # row part of m
         y = jnp.where((m & (k * LANES)) != 0, sh, y)
         k *= 2
     return jnp.where(flat_idx(rows) < rows * LANES - m, y, fill)

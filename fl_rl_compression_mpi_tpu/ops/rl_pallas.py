@@ -113,74 +113,26 @@ def _encode_kernel(R: int, sub: int, grid: int):
         prev = flat_shift_up(xm, 1, 0)
         prev = jnp.where(fidx == 0, carry[0], prev)
         s = xm != prev
-
-        # (gidx mod 255) of each position's run start: the tile-local
-        # fidx (< 2^15) rides the high bits of the prefix-max key for
-        # monotonicity and the residue comes along for free
         gmod = _mod255(gidx)
-        key = jnp.where(s, (fidx << 8) | gmod, -1)
-        r = lanes.prefix_max_flat(key)
-        lsmod = jnp.where(r >= 0, r & 255, carry[1])
+        # CONSTANT-TILE fast path: a tile with no run start (long zero/
+        # constant regions dominate real files) has a closed-form piece
+        # stream — kept positions are exactly gidx ≡ carry-residue
+        # (mod 255), value is the carried byte, and start_j & 0xFF =
+        # (first − j) & 0xFF since 255 ≡ −1 (mod 256) — so the whole
+        # 50-round scan/route pipeline (the measured latency floor,
+        # FINDINGS.md exp33) is branch-skipped.  At i == 0 the −1
+        # sentinel in carry[0] forces s[0] and the slow path.
+        has_start = jnp.any(s)
 
-        # 255-cap piece boundaries (IMPLEMENTATION-PLAN.md:125 semantics:
-        # a boundary every 255 bytes after the natural start) — gmod ==
-        # lsmod ⟺ (gidx − run start) ≡ 0 (mod 255), both residues < 255
-        pflag = s | (gmod == lsmod)
-        keep = pflag & (gidx < n)
-        psum = lanes.prefix_sum_flat(keep.astype(jnp.int32))
-
-        payload16 = (xm & jnp.int32(0xFF)) | ((gidx & jnp.int32(0xFF))
-                                              << 8)
-
-        # Per-sub-tile compaction (dist field caps a network at 2^15
-        # elements): each sub-tile's pieces compact to its own front with
-        # a 15-bit network, then one dynamic flat shift places them at
-        # the running output cursor ``cc + K(<h)``.  Distances stay
-        # monotone within a sub-tile, so collision-freedom is preserved.
         cc = carry[2] % LANES
         out_row = carry[2] // LANES
-        sub_idx = flat_idx(sub)
-        sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
-                       & (_iota((R + 8, LANES), 1) < cc),
-                       carry_row[...], jnp.int32(0))
-        kprev = jnp.int32(0)          # pieces emitted by earlier sub-tiles
-        for h in range(R // sub):
-            lo = h * sub
-            keep_h = keep[lo:lo + sub]
-            psum_h = psum[lo:lo + sub]
-            dist_h = sub_idx - (psum_h - kprev - 1)
-            w = lanes.pack_route(keep_h, dist_h,
-                                 payload16[lo:lo + sub])
-            wc = lanes.compact_lsb(w, nbits) & jnp.int32(0xFFFF)
-            part = jnp.concatenate(
-                [wc, jnp.zeros((R + 8 - sub, LANES), jnp.int32)], axis=0)
-            if h == 0:
-                # first sub-tile: the merge offset is just cc < 128, so
-                # the dyn shift's row ladder is statically dead — lane
-                # ladder only (7 rounds instead of 15+)
-                sh = sh | lanes.flat_shift_up_dyn_lane(part, cc, 0)
-            else:
-                sh = sh | lanes.flat_shift_up_dyn(part, cc + kprev, 0)
-            kprev = jnp.max(psum_h)   # = K(<h+1); psum is monotone
-        K = kprev
-
-        # BUCKETED emit: only ceil((cc+K)/128) rows of the merged buffer
-        # hold live pieces — for compressible streams that is a few rows,
-        # not R+8 — so the emit DMA copies the smallest static bucket
-        # that covers them (exp13 showed full-buffer emits make write
-        # traffic scale with the worst-case tile: 4× the input bytes).
-        # Junk beyond cc+K inside the last emitted row is overwritten by
-        # the next tile's emit (which starts at that row); the wait
+        sh0 = jnp.where((_iota((R + 8, LANES), 0) == 0)
+                        & (_iota((R + 8, LANES), 1) < cc),
+                        carry_row[...], jnp.int32(0))
+        # The previous tile's DMA is awaited before either branch writes
+        # ``merged`` — it overlapped this tile's flag compute; the wait
         # branches on the bucket the PREVIOUS tile actually started so
-        # semaphore byte counts match.  The previous tile's DMA is only
-        # awaited here — it overlaps this tile's whole compute phase —
-        # and because the next DMA starts strictly after the previous
-        # completed, the overlapping rows land in order.
-        rows_used = jnp.maximum((cc + K + LANES - 1) // LANES, 1)
-        bid = jnp.int32(0)
-        for Bk in _EMIT_BUCKETS(R)[:-1]:
-            bid = bid + (rows_used > Bk).astype(jnp.int32)
-
+        # semaphore byte counts match.
         @pl.when(i > 0)
         def _():
             for bi, Bk in enumerate(_EMIT_BUCKETS(R)):
@@ -189,7 +141,99 @@ def _encode_kernel(R: int, sub: int, grid: int):
                     pltpu.make_async_copy(
                         merged.at[:Bk], out_ref.at[pl.ds(out_row, Bk)],
                         sem).wait()
-        merged[...] = sh
+
+        @pl.when(has_start)
+        def _():
+            # (gidx mod 255) of each position's run start: the tile-local
+            # fidx (< 2^15) rides the high bits of the prefix-max key for
+            # monotonicity and the residue comes along for free
+            key = jnp.where(s, (fidx << 8) | gmod, -1)
+            r = lanes.prefix_max_flat(key)
+            lsmod = jnp.where(r >= 0, r & 255, carry[1])
+
+            # 255-cap piece boundaries (IMPLEMENTATION-PLAN.md:125
+            # semantics: a boundary every 255 bytes after the natural
+            # start) — gmod == lsmod ⟺ (gidx − run start) ≡ 0 (mod 255),
+            # both residues < 255
+            pflag = s | (gmod == lsmod)
+            keep = pflag & (gidx < n)
+            psum = lanes.prefix_sum_flat(keep.astype(jnp.int32))
+
+            payload16 = (xm & jnp.int32(0xFF)) | ((gidx & jnp.int32(0xFF))
+                                                  << 8)
+
+            # Per-sub-tile compaction (dist field caps a network at 2^15
+            # elements): each sub-tile's pieces compact to its own front
+            # with a 15-bit network, then one dynamic flat shift places
+            # them at the running output cursor ``cc + K(<h)``.
+            # Distances stay monotone within a sub-tile, so
+            # collision-freedom is preserved.
+            sub_idx = flat_idx(sub)
+            sh = sh0
+            kprev = jnp.int32(0)      # pieces emitted by earlier sub-tiles
+            for h in range(R // sub):
+                lo = h * sub
+                keep_h = keep[lo:lo + sub]
+                psum_h = psum[lo:lo + sub]
+                dist_h = sub_idx - (psum_h - kprev - 1)
+                w = lanes.pack_route(keep_h, dist_h,
+                                     payload16[lo:lo + sub])
+                wc = lanes.compact_lsb(w, nbits) & jnp.int32(0xFFFF)
+                part = jnp.concatenate(
+                    [wc, jnp.zeros((R + 8 - sub, LANES), jnp.int32)],
+                    axis=0)
+                if h == 0:
+                    # first sub-tile: the merge offset is just cc < 128,
+                    # so the dyn shift's row ladder is statically dead —
+                    # lane ladder only (7 rounds instead of 15+)
+                    sh = sh | lanes.flat_shift_up_dyn_lane(part, cc, 0)
+                else:
+                    sh = sh | lanes.flat_shift_up_dyn(part, cc + kprev, 0)
+                kprev = jnp.max(psum_h)   # = K(<h+1); psum is monotone
+            K = kprev
+            merged[...] = sh
+            p = (cc + K) // LANES
+            carry_row[...] = jnp.sum(
+                jnp.where(_iota((R + 8, LANES), 0) == p, sh, 0),
+                axis=0, keepdims=True)
+            carry[1] = lsmod[R - 1, LANES - 1]
+            carry[4] = K
+
+        @pl.when(jnp.logical_not(has_start))
+        def _():
+            # closed form: keeps are every 255th position from ``first``
+            keep = (gmod == carry[1]) & (gidx < n)
+            K = jnp.sum(keep.astype(jnp.int32))
+            first = jnp.min(jnp.where(keep, gidx, jnp.int32(_I32MAX)))
+            slot = flat_idx(R + 8)
+            j = slot - cc
+            word = (((first - j) & jnp.int32(0xFF)) << 8) \
+                | (carry[0] & jnp.int32(0xFF))
+            sh = sh0 | jnp.where((slot >= cc) & (slot < cc + K),
+                                 word, jnp.int32(0))
+            merged[...] = sh
+            p = (cc + K) // LANES
+            carry_row[...] = jnp.sum(
+                jnp.where(_iota((R + 8, LANES), 0) == p, sh, 0),
+                axis=0, keepdims=True)
+            carry[4] = K
+
+        K = carry[4]
+
+        # BUCKETED emit: only ceil((cc+K)/128) rows of the merged buffer
+        # hold live pieces — for compressible streams that is a few rows,
+        # not R+8 — so the emit DMA copies the smallest static bucket
+        # that covers them (exp13 showed full-buffer emits make write
+        # traffic scale with the worst-case tile: 4× the input bytes).
+        # Junk beyond cc+K inside the last emitted row is overwritten by
+        # the next tile's emit (which starts at that row); because the
+        # next DMA starts strictly after the previous completed (wait
+        # above), the overlapping rows land in order.
+        rows_used = jnp.maximum((cc + K + LANES - 1) // LANES, 1)
+        bid = jnp.int32(0)
+        for Bk in _EMIT_BUCKETS(R)[:-1]:
+            bid = bid + (rows_used > Bk).astype(jnp.int32)
+
         for bi, Bk in enumerate(_EMIT_BUCKETS(R)):
             @pl.when(bid == bi)
             def _(Bk=Bk):
@@ -207,16 +251,8 @@ def _encode_kernel(R: int, sub: int, grid: int):
                         merged.at[:Bk], out_ref.at[pl.ds(out_row, Bk)],
                         sem).wait()
 
-        # carries for the next tile: extract row p of the register value
-        # via a masked reduction (lax.dynamic_slice has no Pallas TPU
-        # lowering; reading the in-flight DMA buffer would race)
-        p = (cc + K) // LANES
-        carry_row[...] = jnp.sum(
-            jnp.where(_iota((R + 8, LANES), 0) == p, sh, 0),
-            axis=0, keepdims=True)
         carry[2] = carry[2] + K
         carry[0] = xm[R - 1, LANES - 1]
-        carry[1] = lsmod[R - 1, LANES - 1]
         total_ref[0] = carry[2]
     return kernel
 
@@ -260,7 +296,7 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
             jax.ShapeDtypeStruct((1,), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.SMEM((4,), jnp.int32),
+            pltpu.SMEM((5,), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.int32),
             pltpu.VMEM((R + 8, LANES), jnp.int32),
             pltpu.SemaphoreType.DMA,
@@ -378,8 +414,22 @@ def _decode_kernel(R: int, sub: int, win: int, grid: int):
             vl = vl_w[...] & jnp.int32(0xFF)
 
             # next tile's cursor needs only this window: issue its DMA
-            # now so it overlaps the expansion below
-            cntlt = jnp.sum((st <= base + R * LANES - 1).astype(jnp.int32))
+            # now so it overlaps the expansion below.  The constant-tile
+            # check (below) rides the SAME reduction — its mismatch
+            # count is packed into bits ≥ 15 of the summand (both counts
+            # ≤ win·128 < 2^15, so the i32 sum cannot overflow) — it
+            # costs a few elementwise compares and no extra reduce (a
+            # separate any() measured ~6% on dense streams, exp36).
+            le_hi = st <= base + R * LANES - 1
+            mism = le_hi & (st >= base) & (vl != carry[1])
+            if win * LANES < (1 << 15):
+                stot = jnp.sum(le_hi.astype(jnp.int32)
+                               + (mism.astype(jnp.int32) << 15))
+                cntlt = stot & jnp.int32((1 << 15) - 1)
+                const_tile = (stot >> 15) == 0
+            else:               # huge window: shifted sum would overflow
+                cntlt = jnp.sum(le_hi.astype(jnp.int32))
+                const_tile = jnp.logical_not(jnp.any(mism))
             j0n = arow * LANES + jnp.maximum(cntlt - 1, 0)
             arown = jnp.clip((j0n // LANES) & ~7, 0, nrows - win)
             carry[2] = arown
@@ -390,8 +440,28 @@ def _decode_kernel(R: int, sub: int, win: int, grid: int):
                 n0.start()
                 n1.start()
 
+            # CONSTANT-TILE fast path: when every piece overlapping this
+            # output tile carries the straddling seed's value (long zero/
+            # constant regions — cap-split pieces of one run all share the
+            # value), the output is just that value; the per-half
+            # shift/expand/fill pipeline (the latency floor) is
+            # branch-skipped.  A run starting exactly at the tile base
+            # conservatively falls to the slow path (the stale seed
+            # cannot match a *different* new value — values are compared,
+            # not positions).
+            @pl.when(const_tile)
+            def _():
+                out_ref[...] = jnp.full(
+                    (R, LANES), carry[1].astype(jnp.uint8))
+
+            @pl.when(jnp.logical_not(const_tile))
+            def _():
+                _slow(st, vl)
+
+        def _slow(st, vl):
+            base = i * R * LANES
+
             def to_view(x, fill):
-                """Window → (SW,128) per-half view (slice or dead-pad)."""
                 if win >= SW:
                     return x[:SW]
                 return jnp.concatenate(

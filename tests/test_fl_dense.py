@@ -36,6 +36,15 @@ def _cases():
         ("tiny-tail", g.integers(0, 5, 137).astype(np.uint8)),
         ("exact-tile", np.full(R * 512, 200, np.uint8)),
         ("cross-tile", g.integers(0, 32, R * 512 * 3 + 77, np.uint8)),
+        # uniform-width fast-path coverage (static routing for full
+        # tiles of b ∈ {1,2,4,8}; b=3 and mixed tiles take the general
+        # network; per-tile alternation exercises both dispatch orders)
+        ("w2-uniform", g.integers(0, 4, R * 512 * 2 + 9, np.uint8)),
+        ("w3-uniform", (g.integers(0, 4, R * 512 + 5) + 4).astype(
+            np.uint8)),
+        ("w-alternating", np.concatenate([
+            g.integers(0, 1 << b, R * 512).astype(np.uint8)
+            for b in (4, 8, 1, 2, 3, 4)])),
     ]
 
 

@@ -62,6 +62,19 @@ def _cases():
         ("cap-boundary-256", np.full(256, 9, np.uint8)),
         ("tile-straddle", np.repeat(
             g.integers(0, 16, 40, np.uint8), 500)[:R * 128 * 2 + 5].copy()),
+        # constant-tile fast-path transitions (the encoder branch-skips
+        # its scan/route pipeline on tiles with no run start): nonzero
+        # constant spanning whole tiles between varying regions, both
+        # re-entry orders, and an n-cut inside a constant tile
+        ("const-mid", np.concatenate([
+            g.integers(0, 9, 700, np.uint8),
+            np.full(3 * R * 128, 42, np.uint8),
+            g.integers(0, 9, 900, np.uint8),
+            np.full(2 * R * 128, 42, np.uint8)])),
+        ("const-head-cut", np.full(2 * R * 128 + 77, 200, np.uint8)),
+        ("const-zero-cut", np.zeros(R * 128 + 254, np.uint8)),
+        ("const-alt", np.concatenate([
+            np.full(R * 128, v, np.uint8) for v in (5, 5, 6, 6, 6, 7)])),
     ]
 
 
