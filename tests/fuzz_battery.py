@@ -33,4 +33,12 @@ def battery():
         np.concatenate([np.full(600, 3, np.uint8),
                         g.integers(0, 256, 600, np.uint8)]),
         np.arange(256, dtype=np.uint8).repeat(5),
+        # tile-scale constant regions (the device kernels branch to
+        # closed-form/static fast paths on run-free and uniform-width
+        # tiles — these must stay bit-exact with the reference binary)
+        np.concatenate([np.zeros(100_000, np.uint8),
+                        g.integers(0, 256, 5_000, np.uint8)]),
+        np.concatenate([np.full(70_000, 42, np.uint8),
+                        g.integers(0, 16, 70_000, np.uint8),
+                        np.full(33_000, 200, np.uint8)]),
     ]
