@@ -50,9 +50,12 @@ CYCLES = 1 if SMOKE else 3
 LANES = 128
 
 
-def load_old(relpath, name):
+def load_old(relpath, name, rev="fb2ed7d"):
+    # rev fb2ed7d = last commit BEFORE any fast-path work (the uniform
+    # dense routing landed in f5675bd, so HEAD is not a valid A arm)
     src = subprocess.check_output(
-        ["git", "-C", "/root/repo", "show", f"HEAD:{relpath}"], text=True)
+        ["git", "-C", "/root/repo", "show", f"{rev}:{relpath}"],
+        text=True)
     src = re.sub(r"from \.(\w+) import",
                  r"from fl_rl_compression_mpi_tpu.ops.\1 import", src)
     src = re.sub(r"from \. import",
@@ -151,7 +154,7 @@ def main():
     # dense pair chains, 128 MiB
     nd = 128 << 20
     nwd = nd // 4
-    for kind in ("w4", "w8", "w1"):
+    for kind in ("w4", "w8", "w1", "mixed"):
         host = gen(11, nd, kind)
         words = jax.device_put(jnp.asarray(host.view(np.uint32)))
         nf = jnp.int32(nd // 128)
