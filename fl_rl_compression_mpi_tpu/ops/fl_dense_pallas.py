@@ -177,7 +177,8 @@ def _mask_words(per_b_rounds: dict, size: int):
                 lst.append((m, s))
                 s += 1
         slots[b] = lst
-    assert s <= 31, "mask slots exceed one i32 word"
+    if s > 31:                 # cannot bit-pack: caller disables fast path
+        return None, None
     return words.astype(np.int32), slots
 
 
@@ -197,6 +198,10 @@ def _uniform_place_masks(R: int):
             np.where(rlive, rows - rows // S, 0), rlive)
     lw, lslots = _mask_words(lane_rounds, LANES)
     rw, rslots = _mask_words(row_rounds, R)
+    if lslots is None or rslots is None or R % 8 != 0:
+        # slot overflow (huge R override) or odd tile: general path only
+        return (np.zeros((1, LANES), np.int32), np.zeros((R, 1), np.int32),
+                None)
     return (lw.reshape(1, LANES), rw.reshape(R, 1),
             {b: (lslots[b], rslots[b]) for b in FAST_BS})
 
@@ -217,6 +222,10 @@ def _uniform_unplace_masks(R: int):
             np.where(rlive, rows * S - rows, 0), rlive)
     lw, lslots = _mask_words(lane_rounds, LANES)
     rw, rslots = _mask_words(row_rounds, R)
+    if lslots is None or rslots is None or R % 8 != 0:
+        # slot overflow (huge R override) or odd tile: general path only
+        return (np.zeros((1, LANES), np.int32), np.zeros((R, 1), np.int32),
+                None)
     return (lw.reshape(1, LANES), rw.reshape(R, 1),
             {b: (lslots[b], rslots[b]) for b in FAST_BS})
 
@@ -352,10 +361,13 @@ def _encode_kernel(R: int, grid: int, slots):
         # trace-time-simulated placement; everything else (mixed widths,
         # b0 ∈ {3,5,6,7}, the tail tile) takes the general network.
         b0 = b_fpr[0, 0]
-        full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
-        uniform = jnp.logical_not(jnp.any(b_lane != b0)) & full
-        is_fast = uniform & ((b0 == 1) | (b0 == 2) | (b0 == 4)
-                             | (b0 == 8))
+        if slots is None:      # mask budget exceeded: general path only
+            is_fast = jnp.bool_(False)
+        else:
+            full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
+            uniform = jnp.logical_not(jnp.any(b_lane != b0)) & full
+            is_fast = uniform & ((b0 == 1) | (b0 == 2) | (b0 == 4)
+                                 | (b0 == 8))
 
         cc = carry[0] % LANES
         out_row = carry[0] // LANES
@@ -412,7 +424,7 @@ def _encode_kernel(R: int, grid: int, slots):
             ctrl, pay = lanes.compact_lsb2(ctrl, packed, nbits)
             finish(pay, K)
 
-        for fb in FAST_BS:
+        for fb in (FAST_BS if slots is not None else ()):
             @pl.when(is_fast & (b0 == fb))
             def _(fb=fb):
                 pk = _pack_groups_b(fields, fb)
@@ -585,12 +597,16 @@ def _decode_kernel(R: int, grid: int, slots):
             # trace-time static inverse permutation.
             bits4 = bits_ref[...].astype(jnp.int32)
             b0 = bits4[0, 0]
-            full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
-            uniform = jnp.logical_not(jnp.any(bits4 != b0)) & full
-            is_fast = uniform & ((b0 == 1) | (b0 == 2) | (b0 == 4)
-                                 | (b0 == 8))
+            if slots is None:  # mask budget exceeded: general path only
+                is_fast = jnp.bool_(False)
+            else:
+                full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
+                uniform = jnp.logical_not(
+                    jnp.any(bits4 != b0)) & full
+                is_fast = uniform & ((b0 == 1) | (b0 == 2) | (b0 == 4)
+                                     | (b0 == 8))
 
-            for fb in FAST_BS:
+            for fb in (FAST_BS if slots is not None else ()):
                 @pl.when(is_fast & (b0 == fb))
                 def _(fb=fb):
                     # window → stream-aligned words (rem < 8·128 by the

@@ -203,3 +203,41 @@ def test_device_roundtrip_with_encoder_woffs():
     got = np.ascontiguousarray(
         np.asarray(jax.device_get(out)).reshape(-1)).view(np.uint8)
     np.testing.assert_array_equal(got, data)
+
+
+def test_uniform_masks_disable_gracefully():
+    """Oversized tile overrides (mask-slot budget > 31) and non-multiple-
+    of-8 tiles must disable the static fast path, not crash at trace."""
+    from fl_rl_compression_mpi_tpu.ops.fl_dense_pallas import (
+        _uniform_place_masks, _uniform_unplace_masks)
+    for R in (4096, 12):
+        for fn in (_uniform_place_masks, _uniform_unplace_masks):
+            lw, rw, slots = fn(R)
+            assert slots is None
+            assert rw.shape == (R, 1)
+
+
+def test_dense_general_path_only_tile():
+    """A tile size with the fast path disabled (R % 8 != 0) still
+    round-trips bit-exactly through the general network."""
+    import jax.numpy as jnp
+    g = np.random.default_rng(7)
+    data = g.integers(0, 16, 12 * 512 * 2 + 33).astype(np.uint8)
+    n = data.size
+    tile_bytes = 12 * 512
+    npad = -(-n // tile_bytes) * tile_bytes
+    buf = np.zeros(npad, np.uint8)
+    buf[:n] = data
+    frames = -(-n // 128)
+    bits2d, dense, total, woffs = fl_dense_pallas.fl_encode_dense_pallas(
+        jnp.asarray(buf.view(np.uint32)), jnp.int32(frames), tile_r=12)
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(
+        np.asarray(bits2d).reshape(-1)[:frames], bg)
+    np.testing.assert_array_equal(
+        np.asarray(dense).view(np.uint8)[:vg.size], vg)
+    out = fl_dense_pallas.fl_decode_dense_pallas(
+        np.asarray(dense).reshape(-1, 128), bits2d, woffs,
+        jnp.int32(frames), tile_r=12)
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1).view(np.uint8)[:n], data)
