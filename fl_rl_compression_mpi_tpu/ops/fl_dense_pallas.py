@@ -159,6 +159,56 @@ def _sim_expand(dist: np.ndarray, live: np.ndarray):
     return rounds
 
 
+def _sim_compact_flat(dist: np.ndarray, live: np.ndarray):
+    """Vectorized :func:`_sim_compact` over a FLAT index space (n up to
+    R·128): one LSB-first round per dist bit, destinations collected as
+    full-array take masks.  Trace-time only; the asserts prove the
+    network collision-free for this exact (R, b) configuration, so the
+    on-device applier needs no liveness/dist bookkeeping at all."""
+    n = dist.size
+    pos = np.arange(n)
+    rem = np.where(live, dist, 0).astype(np.int64)
+    rounds = []
+    m = 1
+    maxd = int(rem.max()) if n else 0
+    while m <= maxd:
+        sel = live & ((rem & m) != 0)
+        take = np.zeros(n, bool)
+        take[pos[sel] - m] = True
+        # a mover may never land on a live element that stays this round
+        assert take.sum() == sel.sum()
+        assert not np.intersect1d(pos[sel] - m, pos[live & ~sel]).size
+        pos = pos - np.where(sel, m, 0)
+        rem = rem - np.where(sel, m, 0)
+        rounds.append((m, take))
+        m <<= 1
+    assert np.array_equal(pos[live], (np.arange(n) - dist)[live])
+    return rounds
+
+
+def _sim_expand_flat(dist: np.ndarray, live: np.ndarray):
+    """MSB-first flat expansion simulation (moves UP); see
+    :func:`_sim_compact_flat`."""
+    n = dist.size
+    pos = np.arange(n)
+    rem = np.where(live, dist, 0).astype(np.int64)
+    rounds = []
+    maxd = int(rem.max()) if n else 0
+    m = 1 << (maxd.bit_length() - 1) if maxd else 0
+    while m:
+        sel = live & ((rem & m) != 0)
+        take = np.zeros(n, bool)
+        take[pos[sel] + m] = True
+        assert take.sum() == sel.sum()
+        assert not np.intersect1d(pos[sel] + m, pos[live & ~sel]).size
+        pos = pos + np.where(sel, m, 0)
+        rem = rem - np.where(sel, m, 0)
+        rounds.append((m, take))
+        m >>= 1
+    assert np.array_equal(pos[live], (np.arange(n) + dist)[live])
+    return rounds
+
+
 def _mask_words(per_b_rounds: dict, size: int):
     """Bit-pack the simulated take masks: bit ``t`` of each word is
     round-slot ``t``'s mask (Pallas kernels cannot capture vector
@@ -228,6 +278,106 @@ def _uniform_unplace_masks(R: int):
                 None)
     return (lw.reshape(1, LANES), rw.reshape(R, 1),
             {b: (lslots[b], rslots[b]) for b in FAST_BS})
+
+
+# ---------------------------------------------------------------------------
+# Odd-width (b ∈ {3,5,6,7}) uniform static routing.
+#
+# 16·b ∤ 128 for these widths, so the separable lane/merge/stride
+# decomposition above does not exist — but the placement permutation of a
+# uniform tile is STILL fixed: word (r, 8k+j), j<b → flat 16·b·r + b·k + j.
+# The LSB-first compaction over the FLAT tile therefore has trace-time
+# constant take masks too; they just aren't separable, so each round's
+# mask is a full (R,128) bit plane (≤31 rounds per i32 plane, the planes
+# travel as one (P·R,128) kernel input fetched once).  ~13–15 rounds per
+# width at R=256 (max dist 16·R·(8−b)) vs the general network's 15
+# two-array rounds + prefix-sum + ctrl packing — about half the vector
+# work, and no 2^15 dist cap since no dist field travels.
+# ---------------------------------------------------------------------------
+
+ODD_BS = (3, 5, 6, 7)
+_MAX_PLANES = 3
+
+
+def _mask_planes(per_b_rounds: dict, n: int):
+    """Bit-pack full-array take masks into ≤ _MAX_PLANES i32 planes
+    (31 bits each).  Returns (planes i32[P, n], {b: [(m, plane, bit),…]})
+    or (None, None) when over budget."""
+    need = sum(sum(1 for _, t in rs if t.any())
+               for rs in per_b_rounds.values())
+    P = -(-need // 31) if need else 1
+    if P > _MAX_PLANES:
+        return None, None
+    words = np.zeros((P, n), np.int64)
+    slots = {}
+    s = 0
+    for b, rounds in per_b_rounds.items():
+        lst = []
+        for m, take in rounds:
+            if take.any():
+                p, bit = divmod(s, 31)
+                words[p] |= take.astype(np.int64) << bit
+                lst.append((m, p, bit))
+                s += 1
+        slots[b] = lst
+    return words.astype(np.int32), slots
+
+
+def _odd_place_masks(R: int):
+    """Flat take-mask planes for the encode placement of every odd fast
+    width: (planes i32[(P·R),128], {b: [(m, plane, bit),…]})."""
+    if R > 1024:               # plane VMEM bound (512 KB/plane at 1024)
+        return np.zeros((R, LANES), np.int32), None
+    n = R * LANES
+    fidx = np.arange(n)
+    per_b = {}
+    for b in ODD_BS:
+        live = (fidx % 8) < b
+        rank = np.cumsum(live) - live          # exclusive rank among live
+        per_b[b] = _sim_compact_flat(np.where(live, fidx - rank, 0), live)
+    words, slots = _mask_planes(per_b, n)
+    if words is None:
+        return np.zeros((R, LANES), np.int32), None
+    return words.reshape(-1, LANES), slots
+
+
+def _odd_unplace_masks(R: int):
+    """Flat take-mask planes for the decode inverse placement."""
+    if R > 1024:               # plane VMEM bound (512 KB/plane at 1024)
+        return np.zeros((R, LANES), np.int32), None
+    n = R * LANES
+    fidx = np.arange(n)
+    per_b = {}
+    for b in ODD_BS:
+        live = fidx < 16 * b * R
+        g = fidx // b
+        dest = 128 * (g // 16) + 8 * (g % 16) + fidx % b
+        per_b[b] = _sim_expand_flat(np.where(live, dest - fidx, 0), live)
+    words, slots = _mask_planes(per_b, n)
+    if words is None:
+        return np.zeros((R, LANES), np.int32), None
+    return words.reshape(-1, LANES), slots
+
+
+def _flat_place(y: jax.Array, b: int, fp: jax.Array, slots) -> jax.Array:
+    """Static flat placement for odd uniform widths: packed group words
+    (live lanes 8k+j, j<b) → flat-front K = 16·b·R words; stale copies
+    remain beyond K (the usual junk contract)."""
+    R = y.shape[0]
+    for m, p, s in slots[b]:
+        take = ((fp[p * R:(p + 1) * R] >> s) & 1) != 0
+        y = jnp.where(take, lanes.flat_shift_down(y, m, 0), y)
+    return y
+
+
+def _flat_unplace(y: jax.Array, b: int, fp: jax.Array, slots) -> jax.Array:
+    """Inverse of :func:`_flat_place`: flat-front K words → live lane
+    layout (lanes 8k+j, j<b; other lanes junk)."""
+    R = y.shape[0]
+    for m, p, s in slots[b]:
+        take = ((fp[p * R:(p + 1) * R] >> s) & 1) != 0
+        y = jnp.where(take, lanes.flat_shift_up(y, m, 0), y)
+    return y
 
 
 def _uniform_place(y: jax.Array, b: int, R: int, lm: jax.Array,
@@ -321,10 +471,10 @@ def _unpack_groups_b(packed: jax.Array, b: int) -> jax.Array:
 FAST_BS = (1, 2, 4, 8)
 
 
-def _encode_kernel(R: int, grid: int, slots):
+def _encode_kernel(R: int, grid: int, slots, oslots):
     nbits = (R * LANES - 1).bit_length()
 
-    def kernel(nf_ref, w_ref, lm_ref, rm_ref, bits_ref, out_ref,
+    def kernel(nf_ref, w_ref, lm_ref, rm_ref, fp_ref, bits_ref, out_ref,
                total_ref, woff_ref, carry, carry_row, merged, sem):
         i = pl.program_id(0)
         n_frames = nf_ref[0]
@@ -356,18 +506,19 @@ def _encode_kernel(R: int, grid: int, slots):
         gword = i * R * LANES + fidx
         frame_ok = (gword >> 5) < n_frames      # 32 words per frame
 
-        # Uniform-width dispatch (see the static-routing comment above):
-        # a FULL tile whose frames all share b0 ∈ {1,2,4,8} takes the
-        # trace-time-simulated placement; everything else (mixed widths,
-        # b0 ∈ {3,5,6,7}, the tail tile) takes the general network.
+        # Uniform-width dispatch (see the static-routing comments above):
+        # a FULL tile whose frames all share one width takes trace-time-
+        # simulated placement — separable masks for b0 ∈ {1,2,4,8}, flat
+        # mask planes for b0 ∈ {3,5,6,7}; everything else (mixed widths,
+        # the tail tile) takes the general network.
         b0 = b_fpr[0, 0]
-        if slots is None:      # mask budget exceeded: general path only
-            is_fast = jnp.bool_(False)
-        else:
-            full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
-            uniform = jnp.logical_not(jnp.any(b_lane != b0)) & full
-            is_fast = uniform & ((b0 == 1) | (b0 == 2) | (b0 == 4)
-                                 | (b0 == 8))
+        full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
+        uniform = jnp.logical_not(jnp.any(b_lane != b0)) & full
+        is_pow = (b0 == 1) | (b0 == 2) | (b0 == 4) | (b0 == 8)
+        is_fast = (uniform & is_pow if slots is not None
+                   else jnp.bool_(False))
+        is_odd = (uniform & jnp.logical_not(is_pow) if oslots is not None
+                  else jnp.bool_(False))
 
         cc = carry[0] % LANES
         out_row = carry[0] // LANES
@@ -402,7 +553,7 @@ def _encode_kernel(R: int, grid: int, slots):
                 jnp.uint32)
             carry[1] = K
 
-        @pl.when(jnp.logical_not(is_fast))
+        @pl.when(jnp.logical_not(is_fast | is_odd))
         def _():
             packed = _pack_groups(fields, b_lane)
             # placement: group g's payload starts at the cumulative b-sum
@@ -430,6 +581,13 @@ def _encode_kernel(R: int, grid: int, slots):
                 pk = _pack_groups_b(fields, fb)
                 finish(_uniform_place(pk, fb, R, lm_ref[...],
                                       rm_ref[...], slots),
+                       jnp.int32(16 * fb * R))
+
+        for fb in (ODD_BS if oslots is not None else ()):
+            @pl.when(is_odd & (b0 == fb))
+            def _(fb=fb):
+                pk = _pack_groups_b(fields, fb)
+                finish(_flat_place(pk, fb, fp_ref[...], oslots),
                        jnp.int32(16 * fb * R))
 
         K = carry[1]
@@ -467,9 +625,10 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     assert nw % (R * LANES) == 0
     grid = nw // (R * LANES)
     lw, rw, slots = _uniform_place_masks(R)
+    fpw, oslots = _odd_place_masks(R)
 
     bits2d, dense, total, woffs = pl.pallas_call(
-        _encode_kernel(R, grid, slots),
+        _encode_kernel(R, grid, slots, oslots),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -478,6 +637,8 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -505,7 +666,7 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
         interpret=_interpret(),
     )(jnp.asarray(n_frames, jnp.int32).reshape(1),
       words.reshape(nw // LANES, LANES), jnp.asarray(lw),
-      jnp.asarray(rw))
+      jnp.asarray(rw), jnp.asarray(fpw))
     return bits2d, dense.reshape(-1), total[0], woffs
 
 
@@ -552,7 +713,7 @@ def _unpack_groups(packed: jax.Array, b_lane: jax.Array) -> jax.Array:
     return out
 
 
-def _decode_kernel(R: int, grid: int, slots):
+def _decode_kernel(R: int, grid: int, slots, oslots):
     HEADR = 8                  # 8-row (1024-slot) alignment headroom
     HEAD = HEADR * LANES
     W = R + 2 * HEADR          # window rows (DMA'd dense words)
@@ -564,8 +725,8 @@ def _decode_kernel(R: int, grid: int, slots):
     # dist field (exp26).
     nbits = (7 * (G - 1) + HEAD).bit_length()
 
-    def kernel(woff_ref, nf_ref, lm_ref, rm_ref, bits_ref, dense_hbm,
-               out_ref, win_a, win_b, sem_a, sem_b):
+    def kernel(woff_ref, nf_ref, lm_ref, rm_ref, fp_ref, bits_ref,
+               dense_hbm, out_ref, win_a, win_b, sem_a, sem_b):
         i = pl.program_id(0)
         n_frames = nf_ref[0]
         nrows = dense_hbm.shape[0]
@@ -597,14 +758,22 @@ def _decode_kernel(R: int, grid: int, slots):
             # trace-time static inverse permutation.
             bits4 = bits_ref[...].astype(jnp.int32)
             b0 = bits4[0, 0]
-            if slots is None:  # mask budget exceeded: general path only
-                is_fast = jnp.bool_(False)
-            else:
-                full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
-                uniform = jnp.logical_not(
-                    jnp.any(bits4 != b0)) & full
-                is_fast = uniform & ((b0 == 1) | (b0 == 2) | (b0 == 4)
-                                     | (b0 == 8))
+            full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
+            uniform = jnp.logical_not(jnp.any(bits4 != b0)) & full
+            is_pow = (b0 == 1) | (b0 == 2) | (b0 == 4) | (b0 == 8)
+            is_fast = (uniform & is_pow if slots is not None
+                       else jnp.bool_(False))
+            is_odd = (uniform & jnp.logical_not(is_pow)
+                      if oslots is not None else jnp.bool_(False))
+
+            def emit(f, fb):
+                mask = jnp.uint32((1 << fb) - 1)
+                s1 = f >> fb
+                s2 = s1 >> fb
+                s3 = s2 >> fb
+                out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
+                                | ((s2 & mask) << 16)
+                                | ((s3 & mask) << 24))
 
             for fb in (FAST_BS if slots is not None else ()):
                 @pl.when(is_fast & (b0 == fb))
@@ -613,18 +782,20 @@ def _decode_kernel(R: int, grid: int, slots):
                     # aligned-DMA contract) → static inverse placement
                     y = lanes.flat_shift_down_dyn(
                         win[...], rem, 0, bound=8 * LANES)[:R]
-                    f = _unpack_groups_b(
+                    emit(_unpack_groups_b(
                         _uniform_unplace(y, fb, R, lm_ref[...],
-                                         rm_ref[...], slots), fb)
-                    mask = jnp.uint32((1 << fb) - 1)
-                    s1 = f >> fb
-                    s2 = s1 >> fb
-                    s3 = s2 >> fb
-                    out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
-                                    | ((s2 & mask) << 16)
-                                    | ((s3 & mask) << 24))
+                                         rm_ref[...], slots), fb), fb)
 
-            @pl.when(jnp.logical_not(is_fast))
+            for fb in (ODD_BS if oslots is not None else ()):
+                @pl.when(is_odd & (b0 == fb))
+                def _(fb=fb):
+                    y = lanes.flat_shift_down_dyn(
+                        win[...], rem, 0, bound=8 * LANES)[:R]
+                    emit(_unpack_groups_b(
+                        _flat_unplace(y, fb, fp_ref[...], oslots), fb),
+                        fb)
+
+            @pl.when(jnp.logical_not(is_fast | is_odd))
             def _():
                 _general(win, rem)
 
@@ -728,9 +899,10 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
     grid = rows // R
     assert woffs.shape[0] == grid
     lw, rw, slots = _uniform_unplace_masks(R)
+    fpw, oslots = _odd_unplace_masks(R)
 
     out = pl.pallas_call(
-        _decode_kernel(R, grid, slots),
+        _decode_kernel(R, grid, slots, oslots),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -738,6 +910,8 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 4), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
@@ -756,5 +930,5 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(woffs, jnp.asarray(n_frames, jnp.int32).reshape(1),
-      jnp.asarray(lw), jnp.asarray(rw), bits2d, dense2d)
+      jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(fpw), bits2d, dense2d)
     return out

@@ -37,14 +37,22 @@ def _cases():
         ("exact-tile", np.full(R * 512, 200, np.uint8)),
         ("cross-tile", g.integers(0, 32, R * 512 * 3 + 77, np.uint8)),
         # uniform-width fast-path coverage (static routing for full
-        # tiles of b ∈ {1,2,4,8}; b=3 and mixed tiles take the general
-        # network; per-tile alternation exercises both dispatch orders)
+        # tiles of every width: separable masks for b ∈ {1,2,4,8}, flat
+        # mask planes for b ∈ {3,5,6,7}; mixed/tail tiles take the
+        # general network; per-tile alternation exercises both dispatch
+        # orders)
         ("w2-uniform", g.integers(0, 4, R * 512 * 2 + 9, np.uint8)),
         ("w3-uniform", (g.integers(0, 4, R * 512 + 5) + 4).astype(
             np.uint8)),
+        ("w5-uniform", (g.integers(0, 16, R * 512 * 2 + 13) + 16).astype(
+            np.uint8)),
+        ("w6-uniform", (g.integers(0, 32, R * 512 + 21) + 32).astype(
+            np.uint8)),
+        ("w7-uniform", (g.integers(0, 64, R * 512 + 3) + 64).astype(
+            np.uint8)),
         ("w-alternating", np.concatenate([
             g.integers(0, 1 << b, R * 512).astype(np.uint8)
-            for b in (4, 8, 1, 2, 3, 4)])),
+            for b in (4, 8, 1, 2, 3, 4, 5, 7, 6)])),
     ]
 
 
@@ -92,6 +100,12 @@ def _dec_cases():
         ("tail-midword", g.integers(0, 256, 4_100, np.uint8)),
         ("tiny", g.integers(0, 5, 137).astype(np.uint8)),
         ("cross-tile", g.integers(0, 32, 8 * 512 * 3 + 77, np.uint8)),
+        ("w3-uniform", (g.integers(0, 4, 8 * 512 * 2 + 5) + 4).astype(
+            np.uint8)),
+        ("w5-uniform", (g.integers(0, 16, 8 * 512 + 13) + 16).astype(
+            np.uint8)),
+        ("w7-uniform", (g.integers(0, 64, 8 * 512 * 2 + 3) + 64).astype(
+            np.uint8)),
     ]
 
 
@@ -209,12 +223,16 @@ def test_uniform_masks_disable_gracefully():
     """Oversized tile overrides (mask-slot budget > 31) and non-multiple-
     of-8 tiles must disable the static fast path, not crash at trace."""
     from fl_rl_compression_mpi_tpu.ops.fl_dense_pallas import (
-        _uniform_place_masks, _uniform_unplace_masks)
+        _odd_place_masks, _odd_unplace_masks, _uniform_place_masks,
+        _uniform_unplace_masks)
     for R in (4096, 12):
         for fn in (_uniform_place_masks, _uniform_unplace_masks):
             lw, rw, slots = fn(R)
             assert slots is None
             assert rw.shape == (R, 1)
+    for fn in (_odd_place_masks, _odd_unplace_masks):
+        fpw, slots = fn(4096)    # plane VMEM bound
+        assert slots is None and fpw.shape == (4096, 128)
 
 
 def test_dense_general_path_only_tile():
