@@ -74,6 +74,13 @@ n = SIZE
 nf = jnp.int32(n // 128)
 chain_old = make_chain(enc_old, dec_old)
 
+# jit traces at first CALL, not at wrap time: force the OLD variant's
+# trace (for both k shapes) while the disable patch is active
+_w0 = jax.device_put(jnp.asarray(streams["w3"].view(np.uint32)))
+assert bool(jax.device_get(jnp.array_equal(chain_old(_w0, 1), _w0)))
+jax.device_get(chain_old(_w0, 7).ravel()[-1])
+del _w0
+
 # restore and build NEW from the production entry points
 dp._odd_place_masks, dp._odd_unplace_masks = _saved
 chain_new = make_chain(dp.fl_encode_dense_pallas, dp.fl_decode_dense_pallas)

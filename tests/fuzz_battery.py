@@ -41,4 +41,12 @@ def battery():
         np.concatenate([np.full(70_000, 42, np.uint8),
                         g.integers(0, 16, 70_000, np.uint8),
                         np.full(33_000, 200, np.uint8)]),
+        # tile-scale ODD-width uniform regions (b ∈ {3,5,6,7} full tiles
+        # take the flat static-mask routing; ≥128 KiB guarantees whole
+        # uniform tiles at the production 256-row tile size)
+        (g.integers(4, 8, 140_000)).astype(np.uint8),
+        (g.integers(16, 32, 140_000)).astype(np.uint8),
+        np.concatenate([(g.integers(32, 64, 135_000)).astype(np.uint8),
+                        (g.integers(64, 128, 135_000)).astype(np.uint8),
+                        g.integers(0, 256, 9_000, np.uint8)]),
     ]
