@@ -471,11 +471,15 @@ def _unpack_groups_b(packed: jax.Array, b: int) -> jax.Array:
 FAST_BS = (1, 2, 4, 8)
 
 
-def _encode_kernel(R: int, grid: int, slots, oslots):
+def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
     nbits = (R * LANES - 1).bit_length()
 
     def kernel(nf_ref, w_ref, lm_ref, rm_ref, fp_ref, bits_ref, out_ref,
-               total_ref, woff_ref, carry, carry_row, merged, sem):
+               total_ref, woff_ref, *rest):
+        if debug_path:
+            path_ref, carry, carry_row, merged, sem = rest
+        else:
+            carry, carry_row, merged, sem = rest
         i = pl.program_id(0)
         n_frames = nf_ref[0]
 
@@ -519,6 +523,10 @@ def _encode_kernel(R: int, grid: int, slots, oslots):
                    else jnp.bool_(False))
         is_odd = (uniform & jnp.logical_not(is_pow) if oslots is not None
                   else jnp.bool_(False))
+        if debug_path:  # per-tile dispatch record: 0 general/1 pow2/2 odd
+            path_ref[i] = jnp.where(is_fast, 1,
+                                    jnp.where(is_odd, 2, 0)).astype(
+                                        jnp.int32)
 
         cc = carry[0] % LANES
         out_row = carry[0] // LANES
@@ -602,9 +610,10 @@ def _encode_kernel(R: int, grid: int, slots, oslots):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r",))
+@functools.partial(jax.jit, static_argnames=("tile_r", "debug_path"))
 def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
-                           tile_r: int | None = None):
+                           tile_r: int | None = None,
+                           debug_path: bool = False):
     """Dense FL encode.  ``words`` u32[NW] (NW a tile multiple, bytes
     beyond the input zero); ``n_frames`` = ceil(n/128) (traced).
 
@@ -627,8 +636,14 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     lw, rw, slots = _uniform_place_masks(R)
     fpw, oslots = _odd_place_masks(R)
 
-    bits2d, dense, total, woffs = pl.pallas_call(
-        _encode_kernel(R, grid, slots, oslots),
+    out_specs_extra = []
+    out_shape_extra = []
+    if debug_path:
+        out_specs_extra.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape_extra.append(jax.ShapeDtypeStruct((grid,), jnp.int32))
+
+    outs = pl.pallas_call(
+        _encode_kernel(R, grid, slots, oslots, debug_path),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -647,14 +662,14 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pltpu.SMEM),
-        ],
+        ] + out_specs_extra,
         out_shape=[
             jax.ShapeDtypeStruct((nw // LANES, 4), jnp.uint8),
             jax.ShapeDtypeStruct((nw // LANES + R + 32, LANES),
                                  jnp.uint32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((grid,), jnp.int32),
-        ],
+        ] + out_shape_extra,
         scratch_shapes=[
             pltpu.SMEM((2,), jnp.int32),
             pltpu.VMEM((1, LANES), jnp.uint32),
@@ -667,6 +682,9 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     )(jnp.asarray(n_frames, jnp.int32).reshape(1),
       words.reshape(nw // LANES, LANES), jnp.asarray(lw),
       jnp.asarray(rw), jnp.asarray(fpw))
+    bits2d, dense, total, woffs = outs[:4]
+    if debug_path:
+        return bits2d, dense.reshape(-1), total[0], woffs, outs[4]
     return bits2d, dense.reshape(-1), total[0], woffs
 
 
