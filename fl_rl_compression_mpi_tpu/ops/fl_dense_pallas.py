@@ -37,7 +37,8 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from . import lanes
-from .fl_pallas import _frame_widths_mxu, _word_widths_f32exp
+from .fl_pallas import (_b_lane_mxu, _frame_widths_fpr_mxu,
+                        _word_widths_f32exp)
 from .lanes import LANES, flat_idx
 
 # Tile cap: the routing word carries dist in bits 16..30, so a tile may
@@ -331,10 +332,16 @@ def _odd_place_masks(R: int):
     n = R * LANES
     fidx = np.arange(n)
     per_b = {}
-    for b in ODD_BS:
-        live = (fidx % 8) < b
-        rank = np.cumsum(live) - live          # exclusive rank among live
-        per_b[b] = _sim_compact_flat(np.where(live, fidx - rank, 0), live)
+    try:
+        for b in ODD_BS:
+            live = (fidx % 8) < b
+            rank = np.cumsum(live) - live      # exclusive rank among live
+            per_b[b] = _sim_compact_flat(np.where(live, fidx - rank, 0),
+                                         live)
+    except AssertionError:
+        # an unprovable (R, b) configuration degrades to the general
+        # network instead of crashing production encode (ADVICE r2)
+        return np.zeros((R, LANES), np.int32), None
     words, slots = _mask_planes(per_b, n)
     if words is None:
         return np.zeros((R, LANES), np.int32), None
@@ -348,11 +355,16 @@ def _odd_unplace_masks(R: int):
     n = R * LANES
     fidx = np.arange(n)
     per_b = {}
-    for b in ODD_BS:
-        live = fidx < 16 * b * R
-        g = fidx // b
-        dest = 128 * (g // 16) + 8 * (g % 16) + fidx % b
-        per_b[b] = _sim_expand_flat(np.where(live, dest - fidx, 0), live)
+    try:
+        for b in ODD_BS:
+            live = fidx < 16 * b * R
+            g = fidx // b
+            dest = 128 * (g // 16) + 8 * (g % 16) + fidx % b
+            per_b[b] = _sim_expand_flat(np.where(live, dest - fidx, 0),
+                                        live)
+    except AssertionError:
+        # see _odd_place_masks: degrade to the general path, never crash
+        return np.zeros((R, LANES), np.int32), None
     words, slots = _mask_planes(per_b, n)
     if words is None:
         return np.zeros((R, LANES), np.int32), None
@@ -440,6 +452,10 @@ def _pack_groups_b(fields: jax.Array, b: int) -> jax.Array:
             rot[d] = fields if d == 0 else pltpu.roll(fields, d, 1)
         return rot[d]
 
+    if b == 8:
+        # identity: every term is (j == k, shift 0) — the select-OR sum
+        # reconstructs the input verbatim, so skip the 8 rounds
+        return fields
     vb = jnp.zeros_like(fields)
     for j, k, shift in _pack_terms(b):
         src = ROT(j - k)
@@ -450,6 +466,8 @@ def _pack_groups_b(fields: jax.Array, b: int) -> jax.Array:
 
 def _unpack_groups_b(packed: jax.Array, b: int) -> jax.Array:
     """Single-width variant of :func:`_unpack_groups`."""
+    if b == 8:
+        return packed          # identity (see _pack_groups_b)
     lane8 = _iota(packed.shape, 1) % 8
     rot = {}
 
@@ -496,14 +514,8 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
         o = w | (w >> 8)
         o = (o | (o >> 16)) & jnp.uint32(0xFF)
         wq = _word_widths_f32exp(o)
-        b_fpr, b_lane = _frame_widths_mxu(wq, 32)
+        b_fpr = _frame_widths_fpr_mxu(wq, 32)
         bits_ref[...] = b_fpr.astype(jnp.uint8)
-
-        m = jnp.uint32(1) << b_lane.astype(jnp.uint32)
-        r = w >> 24
-        r = r * m + ((w >> 16) & jnp.uint32(0xFF))
-        r = r * m + ((w >> 8) & jnp.uint32(0xFF))
-        fields = r * m + (w & jnp.uint32(0xFF))
 
         fidx = flat_idx(R)
         lane8 = _iota((R, LANES), 1) % 8
@@ -514,10 +526,14 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
         # a FULL tile whose frames all share one width takes trace-time-
         # simulated placement — separable masks for b0 ∈ {1,2,4,8}, flat
         # mask planes for b0 ∈ {3,5,6,7}; everything else (mixed widths,
-        # the tail tile) takes the general network.
+        # the tail tile) takes the general network.  The check runs on
+        # the compact (R,4) widths — 32× fewer elements than b_lane —
+        # and b_lane itself (one MXU op) plus the variable-width Horner
+        # spread are deferred into the general branch: uniform tiles use
+        # a constant-shift spread for their static b instead.
         b0 = b_fpr[0, 0]
         full = (((i + 1) * R * LANES - 1) >> 5) < n_frames
-        uniform = jnp.logical_not(jnp.any(b_lane != b0)) & full
+        uniform = jnp.logical_not(jnp.any(b_fpr != b0)) & full
         is_pow = (b0 == 1) | (b0 == 2) | (b0 == 4) | (b0 == 8)
         is_fast = (uniform & is_pow if slots is not None
                    else jnp.bool_(False))
@@ -543,26 +559,61 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
             """Cursor-shift the tile's K-word payload, stage it for the
             emit DMA, and save the straddling row + K for the common
             tail.  (Registers cannot cross pl.when branches, so each
-            branch finishes its own payload; K travels via carry[1].)"""
+            branch finishes its own payload; K travels via carry[1].)
+
+            Aligned-cursor fast paths: uniform tiles emit K = 16·b·R — a
+            multiple of 128 words for every b when R % 8 == 0 — so on
+            uniform streams ``cc`` stays 0 tile after tile: the 7-round
+            dynamic shift is branch-skipped, and the straddling-row
+            reduce runs only when the NEXT tile will actually read it
+            ((cc+K) % 128 ≠ 0)."""
             padded = jnp.concatenate(
                 [pay, jnp.zeros((8, LANES), jnp.uint32)], axis=0)
-            sh = lanes.flat_shift_up(padded, cc, 0)
-            sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
-                           & (_iota((R + 8, LANES), 1) < cc),
-                           carry_row[...], sh)
-            merged[...] = sh
-            # (bitcast through i32: Mosaic has no unsigned reductions; a
-            # one-nonzero-row sum is bit-identical either way)
-            carry_row[...] = jax.lax.bitcast_convert_type(
-                jnp.sum(jnp.where(
-                    _iota((R + 8, LANES), 0) == (cc + K) // LANES,
-                    jax.lax.bitcast_convert_type(sh, jnp.int32),
-                    jnp.int32(0)), axis=0, keepdims=True),
-                jnp.uint32)
+
+            @pl.when(cc == 0)
+            def _():
+                merged[...] = padded
+
+            @pl.when(cc != 0)
+            def _():
+                sh = lanes.flat_shift_up(padded, cc, 0)
+                sh = jnp.where((_iota((R + 8, LANES), 0) == 0)
+                               & (_iota((R + 8, LANES), 1) < cc),
+                               carry_row[...], sh)
+                merged[...] = sh
+
+            @pl.when((cc + K) % LANES != 0)
+            def _():
+                # (bitcast through i32: Mosaic has no unsigned
+                # reductions; a one-nonzero-row sum is bit-identical)
+                carry_row[...] = jax.lax.bitcast_convert_type(
+                    jnp.sum(jnp.where(
+                        _iota((R + 8, LANES), 0) == (cc + K) // LANES,
+                        jax.lax.bitcast_convert_type(merged[...],
+                                                     jnp.int32),
+                        jnp.int32(0)), axis=0, keepdims=True),
+                    jnp.uint32)
             carry[1] = K
+
+        def spread_b(fb):
+            """Constant-shift spread for a uniform width-``fb`` tile
+            (every byte < 2^fb ⇒ the ORs are disjoint); b = 8 is the
+            identity."""
+            if fb == 8:
+                return w
+            return ((w & jnp.uint32(0xFF))
+                    | (((w >> 8) & jnp.uint32(0xFF)) << fb)
+                    | (((w >> 16) & jnp.uint32(0xFF)) << (2 * fb))
+                    | ((w >> 24) << (3 * fb)))
 
         @pl.when(jnp.logical_not(is_fast | is_odd))
         def _():
+            b_lane = _b_lane_mxu(b_fpr, 32)
+            m = jnp.uint32(1) << b_lane.astype(jnp.uint32)
+            r = w >> 24
+            r = r * m + ((w >> 16) & jnp.uint32(0xFF))
+            r = r * m + ((w >> 8) & jnp.uint32(0xFF))
+            fields = r * m + (w & jnp.uint32(0xFF))
             packed = _pack_groups(fields, b_lane)
             # placement: group g's payload starts at the cumulative b-sum
             # of prior groups in this tile; cross-tile base is the cursor
@@ -586,7 +637,7 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
         for fb in (FAST_BS if slots is not None else ()):
             @pl.when(is_fast & (b0 == fb))
             def _(fb=fb):
-                pk = _pack_groups_b(fields, fb)
+                pk = _pack_groups_b(spread_b(fb), fb)
                 finish(_uniform_place(pk, fb, R, lm_ref[...],
                                       rm_ref[...], slots),
                        jnp.int32(16 * fb * R))
@@ -594,7 +645,7 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
         for fb in (ODD_BS if oslots is not None else ()):
             @pl.when(is_odd & (b0 == fb))
             def _(fb=fb):
-                pk = _pack_groups_b(fields, fb)
+                pk = _pack_groups_b(spread_b(fb), fb)
                 finish(_flat_place(pk, fb, fp_ref[...], oslots),
                        jnp.int32(16 * fb * R))
 
@@ -744,7 +795,7 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
     nbits = (7 * (G - 1) + HEAD).bit_length()
 
     def kernel(woff_ref, nf_ref, lm_ref, rm_ref, fp_ref, bits_ref,
-               dense_hbm, out_ref, win_a, win_b, sem_a, sem_b):
+               dense_hbm, out_ref, win_a, win_b, ywin, sem_a, sem_b):
         i = pl.program_id(0)
         n_frames = nf_ref[0]
         nrows = dense_hbm.shape[0]
@@ -784,6 +835,23 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
             is_odd = (uniform & jnp.logical_not(is_pow)
                       if oslots is not None else jnp.bool_(False))
 
+            # Stream-align the window ONCE for every fast branch (rem <
+            # 8·128 by the aligned-DMA contract); uniform streams keep
+            # woffs row-aligned (K per tile = 16·b·R words, a 128
+            # multiple), so rem == 0 branch-skips the 10-round dynamic
+            # shift on the common path.
+            if slots is not None or oslots is not None:
+                @pl.when(is_fast | is_odd)
+                def _():
+                    @pl.when(rem == 0)
+                    def _():
+                        ywin[...] = win[...][:R]
+
+                    @pl.when(rem != 0)
+                    def _():
+                        ywin[...] = lanes.flat_shift_down_dyn(
+                            win[...], rem, 0, bound=8 * LANES)[:R]
+
             def emit(f, fb):
                 mask = jnp.uint32((1 << fb) - 1)
                 s1 = f >> fb
@@ -796,22 +864,16 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
             for fb in (FAST_BS if slots is not None else ()):
                 @pl.when(is_fast & (b0 == fb))
                 def _(fb=fb):
-                    # window → stream-aligned words (rem < 8·128 by the
-                    # aligned-DMA contract) → static inverse placement
-                    y = lanes.flat_shift_down_dyn(
-                        win[...], rem, 0, bound=8 * LANES)[:R]
                     emit(_unpack_groups_b(
-                        _uniform_unplace(y, fb, R, lm_ref[...],
+                        _uniform_unplace(ywin[...], fb, R, lm_ref[...],
                                          rm_ref[...], slots), fb), fb)
 
             for fb in (ODD_BS if oslots is not None else ()):
                 @pl.when(is_odd & (b0 == fb))
                 def _(fb=fb):
-                    y = lanes.flat_shift_down_dyn(
-                        win[...], rem, 0, bound=8 * LANES)[:R]
                     emit(_unpack_groups_b(
-                        _flat_unplace(y, fb, fp_ref[...], oslots), fb),
-                        fb)
+                        _flat_unplace(ywin[...], fb, fp_ref[...],
+                                      oslots), fb), fb)
 
             @pl.when(jnp.logical_not(is_fast | is_odd))
             def _():
@@ -941,6 +1003,7 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
         scratch_shapes=[
             pltpu.VMEM((R + 16, LANES), jnp.uint32),
             pltpu.VMEM((R + 16, LANES), jnp.uint32),
+            pltpu.VMEM((R, LANES), jnp.uint32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

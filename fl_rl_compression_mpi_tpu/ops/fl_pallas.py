@@ -54,6 +54,34 @@ def _word_widths_f32exp(o: jax.Array) -> jax.Array:
     return (jax.lax.bitcast_convert_type(f1, jnp.int32) >> 23) - 126
 
 
+def _frame_widths_fpr_mxu(wq: jax.Array, wpf: int) -> jax.Array:
+    """Per-frame width only (the first matmul of :func:`_frame_widths_mxu`)
+    — callers that dispatch on uniformity (ops/fl_dense_pallas.py) defer
+    the lane broadcast to the branch that needs it, saving one MXU op on
+    every uniform tile."""
+    fpr = LANES // wpf
+    spacing = (wpf - 1).bit_length() + 1           # 6 for wpf=32
+    v = jax.lax.bitcast_convert_type((spacing * wq + 127) << 23,
+                                     jnp.float32).astype(jnp.bfloat16)
+    sel = (jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 0) // wpf
+           == jax.lax.broadcasted_iota(jnp.int32, (LANES, fpr), 1)
+           ).astype(jnp.bfloat16)
+    seg = jnp.dot(v, sel, preferred_element_type=jnp.float32)
+    e = (jax.lax.bitcast_convert_type(seg, jnp.int32) >> 23) - 127
+    return e // spacing
+
+
+def _b_lane_mxu(b_fpr: jax.Array, wpf: int) -> jax.Array:
+    """Broadcast compact per-frame widths back to every lane (the second
+    matmul of :func:`_frame_widths_mxu`)."""
+    fpr = LANES // wpf
+    selT = (jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (fpr, LANES), 1) // wpf
+            ).astype(jnp.bfloat16)
+    return jnp.dot(b_fpr.astype(jnp.bfloat16), selT,
+                   preferred_element_type=jnp.float32).astype(jnp.int32)
+
+
 def _frame_widths_mxu(wq: jax.Array, wpf: int):
     """Per-frame width = segment max of per-word widths, via one tiny MXU
     matmul: encode width w as the float 2^(S·w) (S > log2(wpf), so the

@@ -259,3 +259,42 @@ def test_dense_general_path_only_tile():
         jnp.int32(frames), tile_r=12)
     np.testing.assert_array_equal(
         np.asarray(out).reshape(-1).view(np.uint8)[:n], data)
+
+
+def test_dense_odd_width_uniform_at_tile12():
+    """At tile_r = 12 (R % 8 != 0) the separable pow2 masks disable but
+    the odd flat planes stay enabled — the asymmetric dispatch (odd
+    widths fast, pow2 widths general) must still round-trip bit-exactly
+    (ADVICE r2)."""
+    import jax.numpy as jnp
+
+    from fl_rl_compression_mpi_tpu.ops.fl_dense_pallas import (
+        _odd_place_masks, _uniform_place_masks)
+    _, _, pow2_slots = _uniform_place_masks(12)
+    assert pow2_slots is None
+    _, odd_slots = _odd_place_masks(12)
+    assert odd_slots is not None
+
+    g = np.random.default_rng(29)
+    for lo, hi in ((4, 8), (16, 32)):          # w3 and w5 uniform streams
+        data = g.integers(lo, hi, 12 * 512 * 2 + 17).astype(np.uint8)
+        n = data.size
+        tile_bytes = 12 * 512
+        npad = -(-n // tile_bytes) * tile_bytes
+        buf = np.zeros(npad, np.uint8)
+        buf[:n] = data
+        frames = -(-n // 128)
+        bits2d, dense, total, woffs = \
+            fl_dense_pallas.fl_encode_dense_pallas(
+                jnp.asarray(buf.view(np.uint32)), jnp.int32(frames),
+                tile_r=12)
+        bg, vg = fl_numpy.encode(data)
+        np.testing.assert_array_equal(
+            np.asarray(bits2d).reshape(-1)[:frames], bg)
+        np.testing.assert_array_equal(
+            np.asarray(dense).view(np.uint8)[:vg.size], vg)
+        out = fl_dense_pallas.fl_decode_dense_pallas(
+            np.asarray(dense).reshape(-1, 128), bits2d, woffs,
+            jnp.int32(frames), tile_r=12)
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1).view(np.uint8)[:n], data)
