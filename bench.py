@@ -79,6 +79,23 @@ def main() -> int:
             ts.append((t2 - t1) / inner)
         return out, max(float(np.median(ts)), 1e-9)
 
+    def timed_chain(chain, x, inner, reps):
+        """Differenced timing of a jitted ``chain(x, k)`` fori-loop: the
+        (1, 1+inner) difference cancels the per-dispatch tunnel latency;
+        the device time of ``inner`` chained iterations swamps RTT
+        jitter (FINDINGS.md timing methodology)."""
+        jax.device_get(chain(x, 1).ravel()[-1])          # warm both
+        jax.device_get(chain(x, 1 + inner).ravel()[-1])
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            jax.device_get(chain(x, 1).ravel()[-1])
+            t1 = time.perf_counter()
+            jax.device_get(chain(x, 1 + inner).ravel()[-1])
+            t2 = time.perf_counter()
+            ts.append(((t2 - t1) - (t1 - t0)) / inner)
+        return max(float(np.median(ts)), 1e-9)
+
     extra = {}
     agg_override = None
     if args.method == "fl":
@@ -164,17 +181,7 @@ def main() -> int:
                 return chain
 
             def time_chain(chain, inner, reps):
-                jax.device_get(chain(words, 1).ravel()[-1])    # warm both
-                jax.device_get(chain(words, 1 + inner).ravel()[-1])
-                ts = []
-                for _ in range(reps):
-                    t0 = time.perf_counter()
-                    jax.device_get(chain(words, 1).ravel()[-1])
-                    t1 = time.perf_counter()
-                    jax.device_get(chain(words, 1 + inner).ravel()[-1])
-                    t2 = time.perf_counter()
-                    ts.append(((t2 - t1) - (t1 - t0)) / inner)
-                return max(float(np.median(ts)), 1e-9)
+                return timed_chain(chain, words, inner, reps)
 
             # The chain is auto-tuned DIRECTLY (per-op probes are too
             # noisy to pick composite tiles — exp15 measured a per-op
@@ -247,7 +254,15 @@ def main() -> int:
             try:
                 t_cp = time_chain(cp_chain, inner=48, reps=3)
                 extra["copy_ceiling_gbps"] = round(2 * n / 1e9 / t_cp, 1)
-                extra["chain_vs_copy"] = round(t_cp / t_pair, 3)
+                # Credit the ceiling on the WINNING chain's actual HBM
+                # traffic: the copy pair moves 4N bytes/iter, the base
+                # codec pair 4N, the pack-2 pair only 3N — so a pack-2
+                # winner is compared against 3/4 of the copy time
+                # (round-2's raw ratio reported 1.083 "above ceiling",
+                # which was the traffic difference, not magic).
+                moved_frac = 0.75 if best[1] < 0 else 1.0
+                extra["chain_vs_copy"] = round(
+                    t_cp * moved_frac / t_pair, 3)
             except Exception as e:
                 extra["copy_error"] = type(e).__name__
         else:
@@ -263,9 +278,17 @@ def main() -> int:
                 3, inner=4)
             extra["dense_encode_gbps"] = round(n / 1e9 / t_dense, 1)
 
-            # Chained dense encode→decode pair — the fully self-contained
-            # device path (exact container bytes assembled AND consumed on
-            # chip; encoder-emitted per-tile offsets feed the decoder).
+            # Chained dense encode→decode pairs — the fully
+            # self-contained device path (exact container bytes assembled
+            # AND consumed on chip; encoder-emitted per-tile offsets feed
+            # the decoder).  Three arms share ONE compiled chain: the
+            # low-entropy bench stream (uniform w4 — static-routing fast
+            # path), a per-frame-random-width stream (the general
+            # network), and the reference sample BMP tiled to size
+            # (natural imagery — mostly uniform w7/w8 tiles).  Each arm
+            # reports its fraction of the dense pair's own
+            # speed-of-light: the pair moves (1+ratio)·N bytes each way,
+            # so SOL on the credited-2N basis is HBM/(1+ratio).
             if (fl_jax._use_dense_dec(128, npad // 4)
                     and fl_dense_pallas.DENSE_TILE_R
                     == fl_dense_pallas.DENSE_DEC_TILE_R):
@@ -281,24 +304,41 @@ def main() -> int:
                     return jax.lax.fori_loop(
                         0, k, lambda _, v: dense_rt(v), w)
 
-                o1 = np.asarray(jax.device_get(dense_chain(words, 1)))
-                extra["dense_ok"] = bool(np.array_equal(
-                    o1.view(np.uint8)[:n], host))
-                if extra["dense_ok"]:
-                    inner_d = 6
-                    jax.device_get(
-                        dense_chain(words, 1 + inner_d).ravel()[-1])
-                    ts = []
-                    for _ in range(3):
-                        t0 = time.perf_counter()
-                        jax.device_get(dense_chain(words, 1).ravel()[-1])
-                        t1 = time.perf_counter()
-                        jax.device_get(
-                            dense_chain(words, 1 + inner_d).ravel()[-1])
-                        t2 = time.perf_counter()
-                        ts.append(((t2 - t1) - (t1 - t0)) / inner_d)
-                    t_dp = max(float(np.median(ts)), 1e-9)
-                    extra["dense_pair_gbps"] = round(2 * n / 1e9 / t_dp, 1)
+                def dense_arm(tag, hbytes):
+                    """hbytes: u8[npad] (real data in [:n], zero pad)."""
+                    wd = jax.device_put(jnp.asarray(hbytes.view(np.uint32)))
+                    o1 = np.asarray(jax.device_get(dense_chain(wd, 1)))
+                    ok = bool(np.array_equal(o1.view(np.uint8)[:n],
+                                             hbytes[:n]))
+                    extra[f"dense_ok{tag}"] = ok
+                    if not ok:
+                        return
+                    t_dp = timed_chain(dense_chain, wd, inner=6, reps=3)
+                    rate = 2 * n / 1e9 / t_dp
+                    extra[f"dense_pair{tag}_gbps"] = round(rate, 1)
+                    fmax = hbytes[:n].reshape(-1, 128).max(axis=1)
+                    wid = np.maximum(
+                        np.frexp(fmax.astype(np.float64))[1], 1)
+                    r_arm = (wid.size + 16 * int(wid.sum())) / n
+                    extra[f"dense_vs_sol{tag}"] = round(
+                        rate / (hbm_gbps / (1.0 + r_arm)), 4)
+
+                dense_arm("", buf)
+                # per-frame random widths 1..8 (every full tile mixed →
+                # the general routing network, VERDICT r2 item 2)
+                mixed = rng.integers(0, 256, npad, np.uint8)
+                m2 = mixed[:n].reshape(-1, 128)
+                wf = rng.integers(1, 9, m2.shape[0])
+                m2 &= ((1 << wf) - 1).astype(np.uint8)[:, None]
+                m2[:, 0] = (1 << (wf - 1)).astype(np.uint8)
+                mixed[n:] = 0
+                dense_arm("_mixed", mixed)
+                bmp = np.fromfile(
+                    "/root/reference/example_input/sample_1280×853.bmp",
+                    np.uint8)
+                bb = np.resize(bmp, npad)
+                bb[n:] = 0
+                dense_arm("_bmp", bb)
 
         # Host fold/unfold steady-state rate (warm-up first: the very
         # first big call per process pays one-time page provisioning —
@@ -423,13 +463,50 @@ def main() -> int:
             src = f"{td}/in.bin"
             dst = f"{td}/out.fl"
             host.tofile(src)
-            _fj.encode(host)   # warm compiles + buffers (same shapes)
             t0 = time.perf_counter()
             data_l = load_file(src)
             t_load = time.perf_counter() - t0
-            t0 = time.perf_counter()
-            bits_e, values_e = _fj.encode(data_l)
-            t_codec = time.perf_counter() - t0
+            if fl_jax._use_dense(128, npad // 4):
+                # Dense-path e2e, PHASE-KEYED (VERDICT r2 item 5): the
+                # container stream is assembled on device, so only
+                # compressed bytes cross D2H.  On this tunneled dev
+                # platform H2D/D2H ≈ 0.04/0.007–0.02 GB/s — the phase
+                # keys let a reader verify the non-transfer phases are
+                # fast and re-project e2e for a PCIe-attached host.  The
+                # kernel phase is latency-differenced (one tunnel RTT ≈
+                # 30 ms would otherwise swamp the ~5 ms of device work).
+                from fl_rl_compression_mpi_tpu.ops import fl_dense_pallas
+                ebuf = np.zeros(npad, np.uint8)
+                ebuf[:n] = data_l
+                ewords = jnp.asarray(ebuf.view(np.uint32))
+                nf_e = jnp.int32(frames)
+                t0 = time.perf_counter()
+                wd = jax.device_put(ewords)
+                jax.device_get(wd.ravel()[-1])
+                t_h2d = time.perf_counter() - t0
+
+                def enc_step():
+                    return fl_dense_pallas.fl_encode_dense_pallas(
+                        wd, nf_e)
+                (b2d_e, dense_e, _, _), t_kernel = timed(enc_step, 3,
+                                                         inner=4)
+                t0 = time.perf_counter()
+                bits_e = np.asarray(
+                    jax.device_get(b2d_e)).reshape(-1)[:frames]
+                vsz = int(bits_e.astype(np.int64).sum()) * 16
+                values_e = np.asarray(jax.device_get(
+                    dense_e[: -(-vsz // 4)])).view(np.uint8)[:vsz]
+                t_d2h = time.perf_counter() - t0
+                extra["e2e_h2d_s"] = round(t_h2d, 2)
+                extra["e2e_kernel_s"] = round(t_kernel, 4)
+                extra["e2e_kernel_gbps"] = round(n / 1e9 / t_kernel, 1)
+                extra["e2e_d2h_s"] = round(t_d2h, 2)
+                t_codec = t_h2d + t_kernel + t_d2h
+            else:
+                _fj.encode(host)   # warm compiles + buffers
+                t0 = time.perf_counter()
+                bits_e, values_e = _fj.encode(data_l)
+                t_codec = time.perf_counter() - t0
             t0 = time.perf_counter()
             cont.save_fl(dst, cont.FLCompressed(bits_e, values_e, n))
             t_write = time.perf_counter() - t0
