@@ -79,3 +79,41 @@ def test_small_input_fewer_bytes_than_shards(mesh):
         rcomp = dist.compress_rl(data, mesh, bucket_frames=4)
         np.testing.assert_array_equal(
             dist.decompress_rl(rcomp, mesh, bucket=64), data)
+
+
+def test_rl_distributed_deterministic_given_shard_plan(mesh):
+    """Pins the documented RL distributed semantics (parallel/dist.py:
+    rl_compress_sharded): the container is DETERMINISTIC given (data,
+    shard plan) — byte-identical across repeated runs and equal to the
+    per-shard golden concat — while `rl` vs `rl-dist` containers may
+    legitimately differ when a run crosses a shard boundary (the run is
+    split in two; decode is lossless either way)."""
+    size = 128 * 8 * 40 + 515
+    data = np.repeat(_mk(9, size // 50 + 1, 16), 100)[:size].copy()
+    for n_dev in (2, 4, 8):
+        sub = dist.make_mesh(n_dev)
+        a = dist.compress_rl(data, sub, bucket_frames=64)
+        b = dist.compress_rl(data, sub, bucket_frames=64)
+        np.testing.assert_array_equal(a.counts, b.counts)
+        np.testing.assert_array_equal(a.values, b.values)
+        # semantic pin: equal to the per-shard single-chip golden concat
+        plan = dist.plan_shards(size, n_dev, bucket_frames=64)
+        cg, vg, off = [], [], 0
+        for ns in plan.ns:
+            c, v = rl_numpy.encode(data[off:off + int(ns)])
+            cg.append(c)
+            vg.append(v)
+            off += int(ns)
+        np.testing.assert_array_equal(a.counts, np.concatenate(cg))
+        np.testing.assert_array_equal(a.values, np.concatenate(vg))
+        np.testing.assert_array_equal(
+            dist.decompress_rl(a, sub, bucket=1024), data)
+    # the documented divergence: long runs straddle every shard boundary
+    # here, so single-chip and distributed containers differ in SIZE —
+    # yet both decode to the same bytes
+    const = np.zeros(128 * 8 * 16, np.uint8)
+    single_c, _ = rl_numpy.encode(const)
+    d8 = dist.compress_rl(const, mesh, bucket_frames=16)
+    assert d8.counts.size > single_c.size
+    np.testing.assert_array_equal(
+        dist.decompress_rl(d8, mesh, bucket=1024), const)
