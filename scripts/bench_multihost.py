@@ -77,7 +77,16 @@ def main() -> int:
     ap.add_argument("--np-list", type=int, nargs="+", default=[1, 2, 4])
     ap.add_argument("--method", default="fl")
     ap.add_argument("--out", default="logs/bench_multihost.jsonl")
+    ap.add_argument("--shared-fs", action="store_true",
+                    help="FLRL_SHARED_FS=1: direct parallel pwrites "
+                         "(every process writes its own range — the "
+                         "loopback machine IS one filesystem).  Without "
+                         "it the streaming merge moves the whole decoded "
+                         "file through allgather, a process-count-"
+                         "independent cost that flatlines decompress.")
     args = ap.parse_args()
+    if args.shared_fs:
+        os.environ["FLRL_SHARED_FS"] = "1"
 
     import numpy as np
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -113,6 +122,7 @@ def main() -> int:
                   and subprocess.run(["cmp", "-s", src, dec]).returncode
                   == 0)
             row = {"np": np_, "method": args.method,
+                   "shared_fs": bool(args.shared_fs),
                    "size_mb": args.size_mb,
                    "compress_s": round(wall_c, 2),
                    "compress_gbps": round(n / 1e9 / wall_c, 3),

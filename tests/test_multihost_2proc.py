@@ -83,6 +83,25 @@ WORKER = textwrap.dedent("""
         a = _np.fromfile(src, _np.uint8)
         b = _np.fromfile(dst + ".out", _np.uint8)
         assert _np.array_equal(a, b)
+    elif mode == "fl-sharedfs":
+        # Direct parallel pwrites (FLRL_SHARED_FS=1): both round-trip
+        # directions, plus the invariant that the container is
+        # byte-identical to the streaming merge's.
+        os.environ["FLRL_SHARED_FS"] = "1"
+        multihost.compress_fl_file(src, dst + ".fl", bucket_frames=16)
+        multihost.decompress_fl_file(dst + ".fl", dst, bucket_frames=16)
+        os.environ["FLRL_SHARED_FS"] = "0"
+        multihost.compress_fl_file(src, dst + ".stream.fl",
+                                   bucket_frames=16, chunk=4096)
+        if jax.process_index() == 0:
+            import numpy as _np
+            a = _np.fromfile(dst + ".fl", _np.uint8)
+            b = _np.fromfile(dst + ".stream.fl", _np.uint8)
+            assert _np.array_equal(a, b), "shared-fs container differs"
+    elif mode == "rl-sharedfs":
+        os.environ["FLRL_SHARED_FS"] = "1"
+        multihost.compress_rl_file(src, dst + ".rl", bucket_frames=16)
+        multihost.decompress_rl_file(dst + ".rl", dst)
     elif mode == "fl-verify":
         multihost.compress_fl_file(src, dst, bucket_frames=16, chunk=4096)
         assert multihost.verify_file_roundtrip(src, dst, "fl", chunk=4096)
@@ -215,3 +234,28 @@ def test_two_process_streaming_merge_bounded_memory(tmp_path):
     data = np.random.default_rng(6).integers(0, 32, 128 * 3000 + 21,
                                              np.uint8)
     _run_two_proc(tmp_path, data, "fl-bounded")
+
+
+@pytest.mark.timeout(300)
+def test_two_process_shared_fs_direct_writes(tmp_path):
+    """FLRL_SHARED_FS=1: every process pwrites its own disjoint range
+    (the MPI-IO pattern that makes multihost decompress scale — the
+    streaming merge moves the whole decoded file through allgather, a
+    process-count-independent cost).  Container must be byte-identical
+    to the streaming merge's; both round-trip directions checked."""
+    data = np.random.default_rng(7).integers(0, 32, 128 * 800 + 33,
+                                             np.uint8)
+    dst = _run_two_proc(tmp_path, data, "fl-sharedfs")
+    np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
+    comp = container.load_fl(dst + ".fl")
+    bits_g, values_g = fl_numpy.encode(data)
+    np.testing.assert_array_equal(comp.bits, bits_g)
+    np.testing.assert_array_equal(comp.values, values_g)
+
+
+@pytest.mark.timeout(300)
+def test_two_process_shared_fs_rl(tmp_path):
+    data = np.repeat(
+        np.random.default_rng(8).integers(0, 16, 600, np.uint8), 157)
+    dst = _run_two_proc(tmp_path, data, "rl-sharedfs")
+    np.testing.assert_array_equal(np.fromfile(dst, np.uint8), data)
