@@ -107,11 +107,14 @@ def main():
     @functools.partial(jax.jit, static_argnames=("k",))
     def chain(v, k, f=f):
         def step(_, c):
-            o = f(c[0])
-            # keep the chain data-dependent without changing the input
-            # distribution: feed the ORIGINAL bytes, fold one output
-            # lane in so XLA cannot dead-code or pipeline iterations
-            return (c[0], c[1] + o[0, 0])
+            # value-neutral data dependence on the previous iteration —
+            # c[1] is a sum of outputs (sign unknown to XLA), so the
+            # kernel input genuinely depends on the prior result and the
+            # loop body cannot be hoisted/CSE'd, while the bytes stay
+            # identical (the where is always 0)
+            x = c[0] + jnp.where(c[1] < 0, jnp.uint8(1), jnp.uint8(0))
+            o = f(x)
+            return (c[0], o[0, 0])
         return jax.lax.fori_loop(0, k, step, (v, jnp.int32(0)))[1]
 
     o = jax.device_get(chain(x2d, 1))
@@ -131,8 +134,9 @@ def main():
     @functools.partial(jax.jit, static_argnames=("k",))
     def prod_chain(v, k):
         def step(_, c):
-            o = enc_only(c[0])
-            return (c[0], c[1] + o[0, 0])
+            x = c[0] + jnp.where(c[1] < 0, jnp.uint8(1), jnp.uint8(0))
+            o = enc_only(x)
+            return (c[0], o[0, 0])
         return jax.lax.fori_loop(0, k, step, (v, jnp.int32(0)))[1]
 
     def time_chain(chain, w, inner, reps=3):
