@@ -274,7 +274,7 @@ def main() -> int:
             from fl_rl_compression_mpi_tpu.ops import fl_dense_pallas
             nf = jnp.int32(frames)
             _, t_dense = timed(
-                lambda: fl_dense_pallas.fl_encode_dense_pallas(words, nf),
+                lambda: fl_dense_pallas.fl_encode_dense_auto(words, nf),
                 3, inner=4)
             extra["dense_encode_gbps"] = round(n / 1e9 / t_dense, 1)
 
@@ -294,8 +294,8 @@ def main() -> int:
                     == fl_dense_pallas.DENSE_DEC_TILE_R):
                 def dense_rt(w):
                     b2, dense, _, woffs = \
-                        fl_dense_pallas.fl_encode_dense_pallas(w, nf)
-                    return fl_dense_pallas.fl_decode_dense_pallas(
+                        fl_dense_pallas.fl_encode_dense_auto(w, nf)
+                    return fl_dense_pallas.fl_decode_dense_auto(
                         dense.reshape(-1, 128), b2, woffs,
                         nf).reshape(-1)
 
@@ -486,7 +486,7 @@ def main() -> int:
                 t_h2d = time.perf_counter() - t0
 
                 def enc_step():
-                    return fl_dense_pallas.fl_encode_dense_pallas(
+                    return fl_dense_pallas.fl_encode_dense_auto(
                         wd, nf_e)
                 (b2d_e, dense_e, _, _), t_kernel = timed(enc_step, 3,
                                                          inner=4)

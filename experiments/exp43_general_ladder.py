@@ -67,9 +67,11 @@ def _pack_groups_dmajor(fields, b_lane):
         s = 4 * b * k - 32 * lane8
         valid = (k < 8) & (s < 32) & (s > -4 * b)
         sl = jnp.clip(s, 0, 31)
-        # left part via exp2 multiply (exact for 0 <= sl <= 31)
+        # left part via exp2 multiply (exact; s is a multiple of 4 and
+        # < 32, so 2^s <= 2^28 fits i32 — Mosaic has no f32->u32 cast)
         m = jax.lax.bitcast_convert_type(
-            (sl + 127) << 23, jnp.float32).astype(jnp.uint32)
+            (sl + 127) << 23, jnp.float32).astype(jnp.int32).astype(
+                jnp.uint32)
         left = fields_mul = src * m
         right = src >> jnp.clip(-s, 0, 31).astype(jnp.uint32)
         t = jnp.where(s >= 0, left, right)

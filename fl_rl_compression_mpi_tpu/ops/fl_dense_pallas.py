@@ -57,6 +57,15 @@ def _interpret() -> bool:
     return jax.default_backend() != "tpu"
 
 
+def _dense_pad_rows(R: int) -> int:
+    """Tail slack rows of the encoder's dense buffer: at least R + 32
+    (emitter headroom + the decoder's clipped-window needs) and a
+    multiple of 2R — hence of every uniform-kernel block Kr = fb·R/8,
+    fb | 8 — so the speculative fast encoders can share the exact output
+    shape with the general kernel (lax.cond branches must agree)."""
+    return 2 * R * max(1, -(-(R + 32) // (2 * R)))
+
+
 def _iota(shape, dim):
     return jax.lax.broadcasted_iota(jnp.int32, shape, dim)
 
@@ -668,17 +677,18 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     """Dense FL encode.  ``words`` u32[NW] (NW a tile multiple, bytes
     beyond the input zero); ``n_frames`` = ceil(n/128) (traced).
 
-    Returns ``(bits2d u8[rows, 4], dense u32[(rows+tile+32)·128],
+    Returns ``(bits2d u8[rows, 4], dense u32[(rows+pad)·128],
     total_words i32[], woffs i32[grid])`` — ``woffs`` are the per-tile
     stream word offsets :func:`fl_decode_dense_pallas` wants (valid when
     the decoder uses the same tile size); ``dense.view(u8)[:values_size]``
     is the exact
     reference byte stream (trailing bits of the tail frame's last word
-    are zero by the zero-pad contract).  The 32-row tail slack (the
-    emitter itself needs tile+8) lets :func:`fl_decode_dense_pallas`
-    consume the buffer directly — its clipped window reads need
-    ``rows + R + 16`` rows to exist — so device-to-device round trips
-    skip any repadding copy.
+    are zero by the zero-pad contract).  The tail slack ``pad =
+    _dense_pad_rows(R)`` (the emitter itself needs tile+8) lets
+    :func:`fl_decode_dense_pallas` consume the buffer directly — its
+    clipped window reads need ``rows + R + 16`` rows to exist — and is a
+    multiple of every uniform-kernel block so the same buffer shape
+    serves :func:`fl_encode_dense_auto`'s speculative fast branches.
     """
     R = DENSE_TILE_R if tile_r is None else tile_r
     nw = words.shape[0]
@@ -716,8 +726,8 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
         ] + out_specs_extra,
         out_shape=[
             jax.ShapeDtypeStruct((nw // LANES, 4), jnp.uint8),
-            jax.ShapeDtypeStruct((nw // LANES + R + 32, LANES),
-                                 jnp.uint32),
+            jax.ShapeDtypeStruct((nw // LANES + _dense_pad_rows(R),
+                                  LANES), jnp.uint32),
             jax.ShapeDtypeStruct((1,), jnp.int32),
             jax.ShapeDtypeStruct((grid,), jnp.int32),
         ] + out_shape_extra,
@@ -1013,3 +1023,291 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
     )(woffs, jnp.asarray(n_frames, jnp.int32).reshape(1),
       jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(fpw), bits2d, dense2d)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Globally-uniform fast kernels + speculative auto dispatch.
+#
+# Real low-entropy streams are very often uniform-width over the WHOLE
+# array (zeros → 1, sensor/low-cardinality data → 2/4, the bench
+# stream → 4).  For those, the per-tile dispatch machinery of the
+# general kernels (uniformity checks, 9 traced branches, odd mask
+# planes, cursor carries, oversized emits) costs ~20-25% (chip bisect,
+# exp46: a stripped single-width encoder pairs at ~99 GB/s on w4 / ~249
+# on w8 vs ~77/~201 production).  The stripped kernels below assume ONE
+# static width fb ∈ {1,2,4,8} for every tile: placement offsets become
+# static (tile i's payload is exactly rows [i·Kr, (i+1)·Kr),
+# Kr = fb·R/8), so both kernels are pure BlockSpec pipelines — no
+# cursor, no manual DMA, no routing bookkeeping beyond the trace-time
+# masks.
+#
+# Dispatch is SPECULATIVE on encode (widths are not known up front): a
+# cheap XLA probe of the first tile picks fb; the fast kernel verifies
+# every REAL frame as it encodes (it computes the widths anyway) and
+# raises a flag on any mismatch, in which case ``lax.cond`` re-runs the
+# general kernel — the wasted fast pass costs about half a general
+# pass, and only on streams whose FIRST tile is uniform but a later one
+# is not (a probe miss on genuinely mixed data costs one tiny slice
+# reduce).  Decode needs no speculation: the widths header is in hand,
+# so uniformity is an exact cheap reduce.
+# ---------------------------------------------------------------------------
+
+
+def _uniform_enc_kernel(fb: int, R: int, slots):
+    Kr = fb * R // 8
+
+    def kernel(nf_ref, w_ref, lm_ref, rm_ref, bits_ref, out_ref,
+               flag_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            flag_ref[0] = 0
+
+        w = w_ref[...].astype(jnp.uint32)
+        o = w | (w >> 8)
+        o = (o | (o >> 16)) & jnp.uint32(0xFF)
+        wq = _word_widths_f32exp(o)
+        b_fpr = _frame_widths_fpr_mxu(wq, 32)
+        bits_ref[...] = b_fpr.astype(jnp.uint8)
+
+        # speculation check: every REAL frame of this tile must have
+        # width fb (pad frames beyond n_frames are zeros → width 1 and
+        # must not trip the flag; their junk payload lands beyond
+        # values_size, and REAL frames' static offsets are unaffected
+        # by anything after them)
+        fmask = (_iota((R, 4), 0) * 4 + _iota((R, 4), 1)
+                 + i * R * 4) < nf_ref[0]
+        bad = jnp.any((b_fpr != fb) & fmask)
+        flag_ref[0] = flag_ref[0] | bad.astype(jnp.int32)
+
+        if fb == 8:
+            pay = w
+        else:
+            sp = ((w & jnp.uint32(0xFF))
+                  | (((w >> 8) & jnp.uint32(0xFF)) << fb)
+                  | (((w >> 16) & jnp.uint32(0xFF)) << (2 * fb))
+                  | ((w >> 24) << (3 * fb)))
+            pay = _uniform_place(_pack_groups_b(sp, fb), fb, R,
+                                 lm_ref[...], rm_ref[...], slots)
+        out_ref[...] = pay[:Kr]
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fb", "tile_r"))
+def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
+                                   fb: int, tile_r: int | None = None):
+    """Speculative single-width dense encode: assumes EVERY real frame
+    has width ``fb`` ∈ {1,2,4,8}.  Returns ``(bits2d, dense, flag)`` —
+    ``flag`` nonzero means the assumption failed and ``dense`` is junk
+    (callers re-run :func:`fl_encode_dense_pallas`); ``bits2d`` is
+    always the true widths.  ``dense`` has the same padded shape as the
+    general kernel's, so ``lax.cond`` fallbacks type-match."""
+    R = DENSE_TILE_R if tile_r is None else tile_r
+    assert fb in FAST_BS and R % 8 == 0
+    nw = words.shape[0]
+    assert nw % (R * LANES) == 0
+    grid = nw // (R * LANES)
+    Kr = fb * R // 8
+    lw, rw, slots = _uniform_place_masks(R)
+    assert slots is not None
+    rows = nw // LANES
+
+    bits2d, dense, flag = pl.pallas_call(
+        _uniform_enc_kernel(fb, R, slots),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kr, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 4), jnp.uint8),
+            jax.ShapeDtypeStruct((rows + _dense_pad_rows(R), LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(jnp.asarray(n_frames, jnp.int32).reshape(1),
+      words.reshape(rows, LANES), jnp.asarray(lw), jnp.asarray(rw))
+    return bits2d, dense, flag[0]
+
+
+def _uniform_dec_kernel(fb: int, R: int, slots):
+    def kernel(d_ref, lm_ref, rm_ref, out_ref):
+        mask = jnp.uint32((1 << fb) - 1 if fb < 8 else 0xFFFFFFFF)
+        if fb == 8:
+            f = d_ref[...].astype(jnp.uint32)
+        else:
+            y = jnp.concatenate(
+                [d_ref[...].astype(jnp.uint32),
+                 jnp.zeros((R - fb * R // 8, LANES), jnp.uint32)],
+                axis=0)
+            f = _unpack_groups_b(
+                _uniform_unplace(y, fb, R, lm_ref[...], rm_ref[...],
+                                 slots), fb)
+        s1 = f >> fb
+        s2 = s1 >> fb
+        s3 = s2 >> fb
+        out_ref[...] = ((f & mask) | ((s1 & mask) << 8)
+                        | ((s2 & mask) << 16) | ((s3 & mask) << 24))
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("fb", "rows_out", "tile_r"))
+def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
+                                   rows_out: int,
+                                   tile_r: int | None = None) -> jax.Array:
+    """Single-width dense decode: the stream is consumed in exact
+    static blocks (tile i reads rows [i·Kr, (i+1)·Kr)) — a pure
+    BlockSpec pipeline, no window DMA, no offset scan.  Valid only when
+    every frame's width is ``fb`` (callers check the widths header).
+    ``dense2d`` rows must cover ``rows_out·fb/8`` and be a multiple of
+    ``Kr`` (the general encoder's padded buffer is, by construction)."""
+    R = DENSE_DEC_TILE_R if tile_r is None else tile_r
+    assert fb in FAST_BS and R % 8 == 0
+    assert rows_out % R == 0
+    grid = rows_out // R
+    Kr = fb * R // 8
+    lw, rw, slots = _uniform_unplace_masks(R)
+    assert slots is not None
+    need = grid * Kr
+    assert dense2d.shape[0] >= need, (dense2d.shape, need)
+    src = dense2d[:need] if dense2d.shape[0] % Kr else dense2d
+
+    return pl.pallas_call(
+        _uniform_dec_kernel(fb, R, slots),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((Kr, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((rows_out, LANES), jnp.uint32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)),
+        interpret=_interpret(),
+    )(src, jnp.asarray(lw), jnp.asarray(rw))
+
+
+def _probe_uniform_b(words2d_first: jax.Array, n_frames: jax.Array,
+                     R: int) -> jax.Array:
+    """Width probe of the first tile: returns the branch index — 0..3
+    for uniform width {1,2,4,8}, 4 for anything else (mixed, odd width,
+    or a first tile with pad frames)."""
+    w = words2d_first.astype(jnp.uint32)
+    o = w | (w >> 8)
+    o = (o | (o >> 16)) & jnp.uint32(0xFF)
+    fmax = jnp.max(o.reshape(R * 4, 32), axis=1)
+    acc = jnp.zeros((R * 4,), jnp.int32)
+    for k in range(8):
+        acc = acc + (fmax >= (1 << k)).astype(jnp.int32)
+    b = jnp.maximum(acc, 1)
+    b0 = b[0]
+    uni = jnp.all(b == b0) & (jnp.asarray(n_frames, jnp.int32) >= R * 4)
+    idx = jnp.int32(4)
+    for bi, fb in enumerate(FAST_BS):
+        idx = jnp.where(uni & (b0 == fb), jnp.int32(bi), idx)
+    return idx
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r",))
+def fl_encode_dense_auto(words: jax.Array, n_frames: jax.Array,
+                         tile_r: int | None = None):
+    """Dense encode with speculative globally-uniform dispatch; same
+    signature and results as :func:`fl_encode_dense_pallas`."""
+    R = DENSE_TILE_R if tile_r is None else tile_r
+    nw = words.shape[0]
+    grid = nw // (R * LANES)
+    rows = nw // LANES
+    _, _, slots = _uniform_place_masks(R)
+    if slots is None:              # no fast masks at this R
+        return fl_encode_dense_pallas(words, n_frames, tile_r=tile_r)
+    nf = jnp.asarray(n_frames, jnp.int32)
+    idx = _probe_uniform_b(words[: R * LANES].reshape(R, LANES), nf, R)
+
+    def fast_case(fb):
+        def f():
+            b2, dense, flag = fl_encode_dense_uniform_pallas(
+                words, nf, fb, tile_r=R)
+            woffs = (jnp.arange(grid, dtype=jnp.int32)
+                     * jnp.int32(16 * fb * R))
+            total = jnp.int32(4 * fb) * nf
+            return b2, dense.reshape(-1), total, woffs, flag
+        return f
+
+    def mixed_case():
+        return (jnp.zeros((rows, 4), jnp.uint8),
+                jnp.zeros(((rows + _dense_pad_rows(R)) * LANES,),
+                          jnp.uint32),
+                jnp.int32(0), jnp.zeros((grid,), jnp.int32),
+                jnp.int32(1))
+
+    b2, dense, total, woffs, flag = jax.lax.switch(
+        idx, [fast_case(fb) for fb in FAST_BS] + [mixed_case])
+
+    return jax.lax.cond(
+        flag != 0,
+        lambda: fl_encode_dense_pallas(words, nf, tile_r=R),
+        lambda: (b2, dense, total, woffs))
+
+
+@functools.partial(jax.jit, static_argnames=("tile_r",))
+def fl_decode_dense_auto(dense2d: jax.Array, bits2d: jax.Array,
+                         woffs: jax.Array, n_frames: jax.Array,
+                         tile_r: int | None = None) -> jax.Array:
+    """Dense decode with exact globally-uniform dispatch (the widths
+    header is known — no speculation); same signature and results as
+    :func:`fl_decode_dense_pallas`."""
+    R = DENSE_DEC_TILE_R if tile_r is None else tile_r
+    rows = bits2d.shape[0]
+    _, _, slots = _uniform_unplace_masks(R)
+    # only widths whose stream fits the given buffer can be traced (a
+    # host buffer sized for a w1 container cannot hold the fb=8 branch's
+    # block walk; such widths dispatch to the general decoder instead)
+    valid = ([] if slots is None or rows % R else
+             [fb for fb in FAST_BS
+              if dense2d.shape[0] >= (rows // R) * (fb * R // 8)])
+    if not valid:
+        return fl_decode_dense_pallas(dense2d, bits2d, woffs, n_frames,
+                                      tile_r=tile_r)
+    nf = jnp.asarray(n_frames, jnp.int32)
+    # exact uniformity of the REAL frames (pad frames are masked out)
+    fmask = (_iota((rows, 4), 0) * 4 + _iota((rows, 4), 1)) < nf
+    b0 = bits2d[0, 0].astype(jnp.int32)
+    uni = jnp.logical_not(
+        jnp.any((bits2d.astype(jnp.int32) != b0) & fmask))
+    idx = jnp.int32(len(valid))
+    for bi, fb in enumerate(valid):
+        idx = jnp.where(uni & (b0 == fb), jnp.int32(bi), idx)
+
+    def fast_case(fb):
+        def f():
+            return fl_decode_dense_uniform_pallas(dense2d, fb, rows,
+                                                  tile_r=R)
+        return f
+
+    def general_case():
+        return fl_decode_dense_pallas(dense2d, bits2d, woffs, nf,
+                                      tile_r=R)
+
+    return jax.lax.switch(
+        idx, [fast_case(fb) for fb in valid] + [general_case])

@@ -268,7 +268,7 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     frames = -(-n // frame_length)
     if _use_dense(frame_length, npad // 4):
         from . import fl_dense_pallas
-        bits2d, dense, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
+        bits2d, dense, _, _ = fl_dense_pallas.fl_encode_dense_auto(
             jnp.asarray(buf.view(np.uint32)), jnp.int32(frames))
         bits = np.asarray(jax.device_get(bits2d)).reshape(-1)[:frames]
         counts = np.minimum(
@@ -356,12 +356,12 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         wper = fb.reshape(grid, -1).sum(axis=1) * 4
         woffs = np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32)
         vwords = -(-values.size // 4)
-        pad_rows = vwords // 128 + R + 32
+        pad_rows = max(vwords // 128 + R + 32, rows)
         dbuf = np.zeros(pad_rows * 512, np.uint8)
         dbuf[: values.size] = values
         b2 = np.zeros((rows, 4), np.uint8)
         b2.reshape(-1)[:frames] = bits[:frames]
-        out = fl_dense_pallas.fl_decode_dense_pallas(
+        out = fl_dense_pallas.fl_decode_dense_auto(
             jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128)),
             jnp.asarray(b2), jnp.asarray(woffs), jnp.int32(frames))
         return np.ascontiguousarray(

@@ -17,6 +17,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 # Small Pallas tiles in interpret mode (default 2048 rows is tuned for HBM
 # pipelining on the real chip; 4 MiB-per-case interpret runs would crawl).
 os.environ.setdefault("FLRL_TILE_R", "256")
+# The persistent compile cache is for one-process CLI/bench runs; under
+# the full suite its zstd serializer has segfaulted on write at multi-GB
+# RSS (observed on this image), and CPU-interpret compiles are cheap —
+# opt out (cli._enable_compile_cache honors the empty override).
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
@@ -59,6 +64,19 @@ def pytest_runtest_call(item):
             signal.signal(signal.SIGALRM, prev)
     else:
         yield
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    """The full suite compiles many hundreds of XLA:CPU executables in
+    one process; past ~90% of the suite the CPU backend segfaulted
+    inside ``backend_compile_and_load`` (observed twice on this image,
+    different tests — accumulated compiler state, not OOM: 120 GB
+    free).  Dropping the in-memory executable caches per test module
+    bounds that state; per-module recompiles of shared helpers cost a
+    few seconds total."""
+    yield
+    jax.clear_caches()
 
 
 @pytest.fixture(scope="session")

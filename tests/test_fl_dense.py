@@ -298,3 +298,97 @@ def test_dense_odd_width_uniform_at_tile12():
             jnp.int32(frames), tile_r=12)
         np.testing.assert_array_equal(
             np.asarray(out).reshape(-1).view(np.uint8)[:n], data)
+
+
+def _auto_encode(data, R=8):
+    import jax.numpy as jnp
+    n = data.size
+    tile_bytes = R * 128 * 4
+    npad = max(tile_bytes, -(-n // tile_bytes) * tile_bytes)
+    buf = np.zeros(npad, np.uint8)
+    buf[:n] = data
+    frames = -(-n // 128)
+    return fl_dense_pallas.fl_encode_dense_auto(
+        jnp.asarray(buf.view(np.uint32)), jnp.int32(frames), tile_r=R), \
+        frames
+
+
+def test_dense_auto_matches_general_and_golden():
+    """The speculative globally-uniform dispatch must produce the exact
+    general-kernel results on every stream class: uniform hit (w1/w2/w4/
+    w8), odd-uniform (probe rejects), mixed (probe rejects), and the
+    SPECULATION MISS (uniform first tile, mixed later — the fast pass
+    runs, flags, and the general kernel re-runs)."""
+    import jax.numpy as jnp
+    g = np.random.default_rng(41)
+    R = 8
+    tile = R * 512
+    cases = {
+        "w1-hit": np.zeros(tile * 3 + 65, np.uint8),
+        "w4-hit": g.integers(0, 16, tile * 3 + 5).astype(np.uint8),
+        "w8-hit": g.integers(0, 256, tile * 2 + 129).astype(np.uint8),
+        "w3-odd": (g.integers(0, 4, tile * 2) + 4).astype(np.uint8),
+        "mixed": g.integers(0, 256, tile * 2).astype(np.uint8),
+        # speculation miss: first two tiles uniform w4, then w8
+        "miss": np.concatenate([
+            g.integers(0, 16, tile * 2).astype(np.uint8),
+            g.integers(0, 256, tile).astype(np.uint8)]),
+    }
+    for name, data in cases.items():
+        (b2, dense, total, woffs), frames = _auto_encode(data, R)
+        bg, vg = fl_numpy.encode(data)
+        np.testing.assert_array_equal(
+            np.asarray(b2).reshape(-1)[:frames], bg, err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(dense).reshape(-1).view(np.uint8)[:vg.size], vg,
+            err_msg=name)
+        # woffs must equal the host widths scan either way
+        rows = np.asarray(b2).shape[0]
+        fb = np.zeros(rows * 4, np.int64)
+        fb[:frames] = bg
+        wper = fb.reshape(len(np.asarray(woffs)), -1).sum(axis=1) * 4
+        np.testing.assert_array_equal(
+            np.asarray(woffs),
+            np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32),
+            err_msg=name)
+        # decode auto round-trips off the encoder's own outputs
+        out = fl_dense_pallas.fl_decode_dense_auto(
+            np.asarray(dense).reshape(-1, 128), b2,
+            jnp.asarray(np.asarray(woffs)), jnp.int32(frames), tile_r=R)
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1).view(np.uint8)[:data.size], data,
+            err_msg=name)
+
+
+def test_dense_uniform_kernels_direct():
+    """The single-width kernels, called directly, are bit-exact and the
+    encoder's flag fires exactly on violated speculation."""
+    import jax.numpy as jnp
+    g = np.random.default_rng(43)
+    R = 8
+    tile = R * 512
+    for fb, lo, hi in ((1, 0, 2), (2, 0, 4), (4, 0, 16), (8, 128, 256)):
+        data = g.integers(lo, hi, tile * 2).astype(np.uint8)
+        data[::137] = hi - 1          # pin the width
+        (_, _, _, _), frames = _auto_encode(data, R)  # warm shapes
+        buf = data
+        words = jnp.asarray(buf.view(np.uint32))
+        b2, dense, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
+            words, jnp.int32(data.size // 128), fb, tile_r=R)
+        assert int(flag) == 0
+        bg, vg = fl_numpy.encode(data)
+        np.testing.assert_array_equal(np.asarray(b2).reshape(-1), bg)
+        np.testing.assert_array_equal(
+            np.asarray(dense).reshape(-1).view(np.uint8)[:vg.size], vg)
+        out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+            np.asarray(dense).reshape(-1, 128), fb, data.size // 512,
+            tile_r=R)
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1).view(np.uint8), data)
+    # violated speculation: w8 data through the fb=4 kernel must flag
+    data = g.integers(0, 256, tile).astype(np.uint8)
+    data[0] = 255
+    _, _, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
+        jnp.asarray(data.view(np.uint32)), jnp.int32(data.size // 128),
+        4, tile_r=R)
+    assert int(flag) == 1
