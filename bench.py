@@ -53,14 +53,21 @@ def main() -> int:
     # FL frames pack at 4 bits.
     host = rng.integers(0, 16, n, np.uint8)
 
-    lat = 0.030  # nominal tunnel latency, reporting only
+    lat = 0.030   # nominal tunnel latency, reporting only
+    LAT_GEN = 0.05  # generous per-dispatch allowance for the direct bound
+
+    # Degenerate-session guard: in some tunnel sessions the (1, 1+K)
+    # difference collapses toward zero (measured "2728 GB/s copy" and
+    # "268435456 GB/s" samples — far above the 819 GB/s HBM peak).  The
+    # long batch's RAW wall is a sound lower TIME bound regardless: the
+    # device executes serially before the final fence, so
+    # (wall − LAT_GEN) / k under-estimates per-iteration time by at most
+    # the latency allowance (<1% at ~100 ms of device work).  Every
+    # reported rate uses max(differenced, direct) time.
 
     def timed(fn, reps, inner=16):
-        """Paired-differencing timing: per trial, measure a batch of
-        ``1`` and a batch of ``1+inner`` back-to-back dispatches (each
-        fenced once); their difference is ``inner`` device executions with
-        the tunnel latency cancelled exactly — a separately-measured floor
-        drifts by milliseconds between runs and over/under-subtracts."""
+        """Paired-differencing timing (latency cancels exactly), floored
+        by the direct bound above."""
         out = fn()
         leaf = jax.tree_util.tree_leaves(out)[0]
         jax.device_get(leaf.ravel()[-1])
@@ -72,21 +79,21 @@ def main() -> int:
             jax.device_get(jax.tree_util.tree_leaves(o)[0].ravel()[-1])
             return time.perf_counter() - t0
 
-        ts = []
+        ts, tds = [], []
         for _ in range(reps):
             t1 = batch(1)
             t2 = batch(1 + inner)
             ts.append((t2 - t1) / inner)
-        return out, max(float(np.median(ts)), 1e-9)
+            tds.append((t2 - LAT_GEN) / (1 + inner))
+        t = max(float(np.median(ts)), float(np.median(tds)), 1e-9)
+        return out, t
 
     def timed_chain(chain, x, inner, reps):
-        """Differenced timing of a jitted ``chain(x, k)`` fori-loop: the
-        (1, 1+inner) difference cancels the per-dispatch tunnel latency;
-        the device time of ``inner`` chained iterations swamps RTT
-        jitter (FINDINGS.md timing methodology)."""
+        """Differenced timing of a jitted ``chain(x, k)`` fori-loop,
+        floored by the direct bound (see the degenerate-session guard)."""
         jax.device_get(chain(x, 1).ravel()[-1])          # warm both
         jax.device_get(chain(x, 1 + inner).ravel()[-1])
-        ts = []
+        ts, tds = [], []
         for _ in range(reps):
             t0 = time.perf_counter()
             jax.device_get(chain(x, 1).ravel()[-1])
@@ -94,7 +101,8 @@ def main() -> int:
             jax.device_get(chain(x, 1 + inner).ravel()[-1])
             t2 = time.perf_counter()
             ts.append(((t2 - t1) - (t1 - t0)) / inner)
-        return max(float(np.median(ts)), 1e-9)
+            tds.append((t2 - t1 - LAT_GEN) / (1 + inner))
+        return max(float(np.median(ts)), float(np.median(tds)), 1e-9)
 
     extra = {}
     agg_override = None
@@ -269,51 +277,90 @@ def main() -> int:
             agg_override = None
 
         # Dense-on-device encode (exact container bytes on device — the
-        # end-to-end path; see ops/fl_dense_pallas.py)
+        # end-to-end path; see ops/fl_dense_pallas.py).  The production
+        # host path dispatches per stream: a free NumPy probe + the
+        # device flag select the stripped single-width kernels when the
+        # whole array is uniform-width, else the general per-tile
+        # kernel (exp46/exp47: the stripped kernels pair ~25% faster,
+        # and in-jit lax.switch/cond compositions copy branch results
+        # and lose it — so each arm below times the chain its stream
+        # class actually takes, with the dispatch recorded).
         if fl_jax._use_dense(128, npad // 4):
             from fl_rl_compression_mpi_tpu.ops import fl_dense_pallas
             nf = jnp.int32(frames)
+            fb_main = fl_dense_pallas.host_probe_uniform_b(buf)
             _, t_dense = timed(
-                lambda: fl_dense_pallas.fl_encode_dense_auto(words, nf),
-                3, inner=4)
+                lambda: (fl_dense_pallas.fl_encode_dense_uniform_pallas(
+                    words, nf, fb_main) if fb_main else
+                    fl_dense_pallas.fl_encode_dense_pallas(words, nf)),
+                3, inner=8)
             extra["dense_encode_gbps"] = round(n / 1e9 / t_dense, 1)
 
             # Chained dense encode→decode pairs — the fully
-            # self-contained device path (exact container bytes assembled
-            # AND consumed on chip; encoder-emitted per-tile offsets feed
-            # the decoder).  Three arms share ONE compiled chain: the
-            # low-entropy bench stream (uniform w4 — static-routing fast
-            # path), a per-frame-random-width stream (the general
-            # network), and the reference sample BMP tiled to size
-            # (natural imagery — mostly uniform w7/w8 tiles).  Each arm
-            # reports its fraction of the dense pair's own
-            # speed-of-light: the pair moves (1+ratio)·N bytes each way,
-            # so SOL on the credited-2N basis is HBM/(1+ratio).
+            # self-contained device path (exact container bytes
+            # assembled AND consumed on chip).  Arms: the low-entropy
+            # bench stream (uniform w4), all-zeros (uniform w1), a
+            # per-frame-random-width stream (general network), and the
+            # reference sample BMP tiled to size (natural imagery —
+            # mixed tiles).  Each arm reports its fraction of the dense
+            # pair's own speed-of-light: the pair moves (1+ratio)·N
+            # bytes each way, so SOL on the credited-2N basis is
+            # HBM/(1+ratio).
             if (fl_jax._use_dense_dec(128, npad // 4)
                     and fl_dense_pallas.DENSE_TILE_R
                     == fl_dense_pallas.DENSE_DEC_TILE_R):
-                def dense_rt(w):
-                    b2, dense, _, woffs = \
-                        fl_dense_pallas.fl_encode_dense_auto(w, nf)
-                    return fl_dense_pallas.fl_decode_dense_auto(
-                        dense.reshape(-1, 128), b2, woffs,
-                        nf).reshape(-1)
+                chains = {}
 
-                @functools.partial(jax.jit, static_argnames=("k",))
-                def dense_chain(w, k):
-                    return jax.lax.fori_loop(
-                        0, k, lambda _, v: dense_rt(v), w)
+                def dense_chain_for(fb):
+                    if fb in chains:
+                        return chains[fb]
+                    if fb:
+                        def rt(w):
+                            b2, dense, flag = \
+                                fl_dense_pallas.\
+                                fl_encode_dense_uniform_pallas(w, nf, fb)
+                            return fl_dense_pallas.\
+                                fl_decode_dense_uniform_pallas(
+                                    dense, fb, npad // 512).reshape(-1)
+                    else:
+                        def rt(w):
+                            b2, dense, _, woffs = \
+                                fl_dense_pallas.fl_encode_dense_pallas(
+                                    w, nf)
+                            return fl_dense_pallas.\
+                                fl_decode_dense_pallas(
+                                    dense.reshape(-1, 128), b2, woffs,
+                                    nf).reshape(-1)
+
+                    @functools.partial(jax.jit, static_argnames=("k",))
+                    def chain(w, k, rt=rt):
+                        return jax.lax.fori_loop(
+                            0, k, lambda _, v: rt(v), w)
+                    chains[fb] = chain
+                    return chain
 
                 def dense_arm(tag, hbytes):
                     """hbytes: u8[npad] (real data in [:n], zero pad)."""
+                    fb = fl_dense_pallas.host_probe_uniform_b(hbytes)
+                    if fb:
+                        # the device flag is the authoritative verifier
+                        _, _, flag = fl_dense_pallas.\
+                            fl_encode_dense_uniform_pallas(
+                                jnp.asarray(hbytes.view(np.uint32)),
+                                nf, fb)
+                        if int(jax.device_get(flag)):
+                            fb = None
+                    chain = dense_chain_for(fb)
+                    extra[f"dense_path{tag}"] = (f"uniform-w{fb}" if fb
+                                                 else "general")
                     wd = jax.device_put(jnp.asarray(hbytes.view(np.uint32)))
-                    o1 = np.asarray(jax.device_get(dense_chain(wd, 1)))
+                    o1 = np.asarray(jax.device_get(chain(wd, 1)))
                     ok = bool(np.array_equal(o1.view(np.uint8)[:n],
                                              hbytes[:n]))
                     extra[f"dense_ok{tag}"] = ok
                     if not ok:
                         return
-                    t_dp = timed_chain(dense_chain, wd, inner=6, reps=3)
+                    t_dp = timed_chain(chain, wd, inner=6, reps=3)
                     rate = 2 * n / 1e9 / t_dp
                     extra[f"dense_pair{tag}_gbps"] = round(rate, 1)
                     fmax = hbytes[:n].reshape(-1, 128).max(axis=1)
@@ -324,6 +371,9 @@ def main() -> int:
                         rate / (hbm_gbps / (1.0 + r_arm)), 4)
 
                 dense_arm("", buf)
+                # all-zeros (width-1 frames — the dominant real-world
+                # low-entropy class; globally-uniform fast dispatch)
+                dense_arm("_zeros", np.zeros(npad, np.uint8))
                 # per-frame random widths 1..8 (every full tile mixed →
                 # the general routing network, VERDICT r2 item 2)
                 mixed = rng.integers(0, 256, npad, np.uint8)
@@ -485,11 +535,17 @@ def main() -> int:
                 jax.device_get(wd.ravel()[-1])
                 t_h2d = time.perf_counter() - t0
 
+                fb_e = fl_dense_pallas.host_probe_uniform_b(ebuf)
+
                 def enc_step():
-                    return fl_dense_pallas.fl_encode_dense_auto(
+                    if fb_e:
+                        b2, dense, _ = fl_dense_pallas.\
+                            fl_encode_dense_uniform_pallas(wd, nf_e, fb_e)
+                        return b2, dense.reshape(-1), None, None
+                    return fl_dense_pallas.fl_encode_dense_pallas(
                         wd, nf_e)
                 (b2d_e, dense_e, _, _), t_kernel = timed(enc_step, 3,
-                                                         inner=4)
+                                                         inner=8)
                 t0 = time.perf_counter()
                 bits_e = np.asarray(
                     jax.device_get(b2d_e)).reshape(-1)[:frames]

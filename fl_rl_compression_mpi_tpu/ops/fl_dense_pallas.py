@@ -687,8 +687,8 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     _dense_pad_rows(R)`` (the emitter itself needs tile+8) lets
     :func:`fl_decode_dense_pallas` consume the buffer directly — its
     clipped window reads need ``rows + R + 16`` rows to exist — and is a
-    multiple of every uniform-kernel block so the same buffer shape
-    serves :func:`fl_encode_dense_auto`'s speculative fast branches.
+    multiple of every uniform-kernel block so the speculative fast
+    encoders (:func:`fl_encode_dense_uniform_pallas`) share the shape.
     """
     R = DENSE_TILE_R if tile_r is None else tile_r
     nw = words.shape[0]
@@ -1208,106 +1208,23 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
     )(src, jnp.asarray(lw), jnp.asarray(rw))
 
 
-def _probe_uniform_b(words2d_first: jax.Array, n_frames: jax.Array,
-                     R: int) -> jax.Array:
-    """Width probe of the first tile: returns the branch index — 0..3
-    for uniform width {1,2,4,8}, 4 for anything else (mixed, odd width,
-    or a first tile with pad frames)."""
-    w = words2d_first.astype(jnp.uint32)
-    o = w | (w >> 8)
-    o = (o | (o >> 16)) & jnp.uint32(0xFF)
-    fmax = jnp.max(o.reshape(R * 4, 32), axis=1)
-    acc = jnp.zeros((R * 4,), jnp.int32)
-    for k in range(8):
-        acc = acc + (fmax >= (1 << k)).astype(jnp.int32)
-    b = jnp.maximum(acc, 1)
-    b0 = b[0]
-    uni = jnp.all(b == b0) & (jnp.asarray(n_frames, jnp.int32) >= R * 4)
-    idx = jnp.int32(4)
-    for bi, fb in enumerate(FAST_BS):
-        idx = jnp.where(uni & (b0 == fb), jnp.int32(bi), idx)
-    return idx
-
-
-@functools.partial(jax.jit, static_argnames=("tile_r",))
-def fl_encode_dense_auto(words: jax.Array, n_frames: jax.Array,
-                         tile_r: int | None = None):
-    """Dense encode with speculative globally-uniform dispatch; same
-    signature and results as :func:`fl_encode_dense_pallas`."""
+def host_probe_uniform_b(data: np.ndarray,
+                         tile_r: int | None = None) -> int | None:
+    """Host-side width probe for the speculative uniform dispatch: the
+    data is already in host memory, so checking the FIRST tile costs a
+    ~128 KB NumPy pass.  Returns fb ∈ {1,2,4,8} when that tile is
+    uniform at fb and the static masks exist for this tile size, else
+    None (callers use the general kernel).  The device kernel still
+    verifies EVERY real frame (its flag is authoritative — a later
+    mixed tile makes the caller re-run the general kernel)."""
     R = DENSE_TILE_R if tile_r is None else tile_r
-    nw = words.shape[0]
-    grid = nw // (R * LANES)
-    rows = nw // LANES
-    _, _, slots = _uniform_place_masks(R)
-    if slots is None:              # no fast masks at this R
-        return fl_encode_dense_pallas(words, n_frames, tile_r=tile_r)
-    nf = jnp.asarray(n_frames, jnp.int32)
-    idx = _probe_uniform_b(words[: R * LANES].reshape(R, LANES), nf, R)
-
-    def fast_case(fb):
-        def f():
-            b2, dense, flag = fl_encode_dense_uniform_pallas(
-                words, nf, fb, tile_r=R)
-            woffs = (jnp.arange(grid, dtype=jnp.int32)
-                     * jnp.int32(16 * fb * R))
-            total = jnp.int32(4 * fb) * nf
-            return b2, dense.reshape(-1), total, woffs, flag
-        return f
-
-    def mixed_case():
-        return (jnp.zeros((rows, 4), jnp.uint8),
-                jnp.zeros(((rows + _dense_pad_rows(R)) * LANES,),
-                          jnp.uint32),
-                jnp.int32(0), jnp.zeros((grid,), jnp.int32),
-                jnp.int32(1))
-
-    b2, dense, total, woffs, flag = jax.lax.switch(
-        idx, [fast_case(fb) for fb in FAST_BS] + [mixed_case])
-
-    return jax.lax.cond(
-        flag != 0,
-        lambda: fl_encode_dense_pallas(words, nf, tile_r=R),
-        lambda: (b2, dense, total, woffs))
-
-
-@functools.partial(jax.jit, static_argnames=("tile_r",))
-def fl_decode_dense_auto(dense2d: jax.Array, bits2d: jax.Array,
-                         woffs: jax.Array, n_frames: jax.Array,
-                         tile_r: int | None = None) -> jax.Array:
-    """Dense decode with exact globally-uniform dispatch (the widths
-    header is known — no speculation); same signature and results as
-    :func:`fl_decode_dense_pallas`."""
-    R = DENSE_DEC_TILE_R if tile_r is None else tile_r
-    rows = bits2d.shape[0]
-    _, _, slots = _uniform_unplace_masks(R)
-    # only widths whose stream fits the given buffer can be traced (a
-    # host buffer sized for a w1 container cannot hold the fb=8 branch's
-    # block walk; such widths dispatch to the general decoder instead)
-    valid = ([] if slots is None or rows % R else
-             [fb for fb in FAST_BS
-              if dense2d.shape[0] >= (rows // R) * (fb * R // 8)])
-    if not valid:
-        return fl_decode_dense_pallas(dense2d, bits2d, woffs, n_frames,
-                                      tile_r=tile_r)
-    nf = jnp.asarray(n_frames, jnp.int32)
-    # exact uniformity of the REAL frames (pad frames are masked out)
-    fmask = (_iota((rows, 4), 0) * 4 + _iota((rows, 4), 1)) < nf
-    b0 = bits2d[0, 0].astype(jnp.int32)
-    uni = jnp.logical_not(
-        jnp.any((bits2d.astype(jnp.int32) != b0) & fmask))
-    idx = jnp.int32(len(valid))
-    for bi, fb in enumerate(valid):
-        idx = jnp.where(uni & (b0 == fb), jnp.int32(bi), idx)
-
-    def fast_case(fb):
-        def f():
-            return fl_decode_dense_uniform_pallas(dense2d, fb, rows,
-                                                  tile_r=R)
-        return f
-
-    def general_case():
-        return fl_decode_dense_pallas(dense2d, bits2d, woffs, nf,
-                                      tile_r=R)
-
-    return jax.lax.switch(
-        idx, [fast_case(fb) for fb in valid] + [general_case])
+    if R % 8 != 0 or data.size < R * 512:
+        return None
+    if _uniform_place_masks(R)[2] is None:
+        return None
+    fmax = np.asarray(data[: R * 512], np.uint8).reshape(-1, 128).max(1)
+    b = np.maximum(np.frexp(fmax.astype(np.float64))[1], 1)
+    fb = int(b[0])
+    if fb in FAST_BS and bool((b == fb).all()):
+        return fb
+    return None

@@ -268,8 +268,24 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     frames = -(-n // frame_length)
     if _use_dense(frame_length, npad // 4):
         from . import fl_dense_pallas
-        bits2d, dense, _, _ = fl_dense_pallas.fl_encode_dense_auto(
-            jnp.asarray(buf.view(np.uint32)), jnp.int32(frames))
+        wordsj = jnp.asarray(buf.view(np.uint32))
+        nfj = jnp.int32(frames)
+        # speculative globally-uniform dispatch, HOST-controlled: the
+        # probe is a free NumPy pass (data is in host memory), the
+        # device flag is authoritative, and a miss re-runs the general
+        # kernel (exp46/exp47: stripped single-width kernels pair
+        # ~25% faster, but in-jit lax.switch/cond compositions copy the
+        # branch results and lose the win — so the branch lives here)
+        fbp = fl_dense_pallas.host_probe_uniform_b(buf)
+        dense = None
+        if fbp is not None:
+            b2u, du, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
+                wordsj, nfj, fbp)
+            if int(jax.device_get(flag)) == 0:
+                bits2d, dense = b2u, du.reshape(-1)
+        if dense is None:
+            bits2d, dense, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
+                wordsj, nfj)
         bits = np.asarray(jax.device_get(bits2d)).reshape(-1)[:frames]
         counts = np.minimum(
             n - np.arange(frames, dtype=np.int64) * frame_length,
@@ -355,13 +371,30 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         fb[:frames] = bits[:frames]
         wper = fb.reshape(grid, -1).sum(axis=1) * 4
         woffs = np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32)
+        # exact host dispatch: a uniform widths header takes the
+        # single-width block-walk decoder (no window DMA, no offsets)
+        ba = bits[:frames]
+        fbu = (int(ba[0]) if ba.size and (ba == ba[0]).all() else 0)
+        from .fl_dense_pallas import _uniform_unplace_masks
+        if (fbu in (1, 2, 4, 8) and R % 8 == 0
+                and _uniform_unplace_masks(R)[2] is not None):
+            Kr = fbu * R // 8
+            need = (rows // R) * Kr
+            dbuf = np.zeros(need * 512, np.uint8)
+            dbuf[: values.size] = values
+            out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+                jnp.asarray(dbuf.view(np.uint32).reshape(need, 128)),
+                fbu, rows)
+            return np.ascontiguousarray(
+                np.asarray(jax.device_get(out)).reshape(-1)).view(
+                    np.uint8)[:n].copy()
         vwords = -(-values.size // 4)
-        pad_rows = max(vwords // 128 + R + 32, rows)
+        pad_rows = vwords // 128 + R + 32
         dbuf = np.zeros(pad_rows * 512, np.uint8)
         dbuf[: values.size] = values
         b2 = np.zeros((rows, 4), np.uint8)
         b2.reshape(-1)[:frames] = bits[:frames]
-        out = fl_dense_pallas.fl_decode_dense_auto(
+        out = fl_dense_pallas.fl_decode_dense_pallas(
             jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128)),
             jnp.asarray(b2), jnp.asarray(woffs), jnp.int32(frames))
         return np.ascontiguousarray(

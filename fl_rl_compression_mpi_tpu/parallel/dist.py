@@ -156,7 +156,7 @@ def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
 def _fl_local_encode_dense(frame_length):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
-        bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_auto(
+        bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_pallas(
             words[0], n_frames[0])
         return bits2d[None], dense[None], total[None]
     return f
@@ -182,7 +182,7 @@ def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
 def _fl_merged_encode_dense(frame_length):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
-        bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_auto(
+        bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_pallas(
             words[0], n_frames[0])
         # max-padded ICI all-gather of the per-shard DENSE payloads —
         # the ncclAllGather analog (fl_gpu.cu:144-194) carrying exact
@@ -234,7 +234,7 @@ def fl_compress_merged(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
 def _fl_local_decode_dense(frame_length):
     def f(dense, bits2d, woffs, nframes):
         from ..ops import fl_dense_pallas
-        out = fl_dense_pallas.fl_decode_dense_auto(
+        out = fl_dense_pallas.fl_decode_dense_pallas(
             dense[0], bits2d[0], woffs[0], nframes[0])
         return out[None]
     return f

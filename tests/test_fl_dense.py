@@ -300,64 +300,63 @@ def test_dense_odd_width_uniform_at_tile12():
             np.asarray(out).reshape(-1).view(np.uint8)[:n], data)
 
 
-def _auto_encode(data, R=8):
-    import jax.numpy as jnp
-    n = data.size
-    tile_bytes = R * 128 * 4
-    npad = max(tile_bytes, -(-n // tile_bytes) * tile_bytes)
-    buf = np.zeros(npad, np.uint8)
-    buf[:n] = data
-    frames = -(-n // 128)
-    return fl_dense_pallas.fl_encode_dense_auto(
-        jnp.asarray(buf.view(np.uint32)), jnp.int32(frames), tile_r=R), \
-        frames
+def test_host_dispatch_through_fl_jax(monkeypatch):
+    """fl_jax.encode/decode's HOST-controlled speculative dispatch (probe
+    + stripped single-width kernels + authoritative device flag, general
+    fallback) must be byte-exact with the golden on every stream class,
+    including the SPECULATION MISS (uniform first tile, mixed later)."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
 
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_jax, "_use_dense",
+                        lambda L, nw: L == 128 and nw % 1024 == 0)
+    monkeypatch.setattr(fl_jax, "_use_dense_dec", fl_jax._use_dense)
 
-def test_dense_auto_matches_general_and_golden():
-    """The speculative globally-uniform dispatch must produce the exact
-    general-kernel results on every stream class: uniform hit (w1/w2/w4/
-    w8), odd-uniform (probe rejects), mixed (probe rejects), and the
-    SPECULATION MISS (uniform first tile, mixed later — the fast pass
-    runs, flags, and the general kernel re-runs)."""
-    import jax.numpy as jnp
     g = np.random.default_rng(41)
-    R = 8
-    tile = R * 512
+    tile = 8 * 512
     cases = {
-        "w1-hit": np.zeros(tile * 3 + 65, np.uint8),
-        "w4-hit": g.integers(0, 16, tile * 3 + 5).astype(np.uint8),
-        "w8-hit": g.integers(0, 256, tile * 2 + 129).astype(np.uint8),
+        "w1-hit": np.zeros(tile * 4, np.uint8),
+        "w4-hit": g.integers(0, 16, tile * 4).astype(np.uint8),
+        "w8-hit": g.integers(0, 256, tile * 3).astype(np.uint8),
         "w3-odd": (g.integers(0, 4, tile * 2) + 4).astype(np.uint8),
         "mixed": g.integers(0, 256, tile * 2).astype(np.uint8),
-        # speculation miss: first two tiles uniform w4, then w8
+        # speculation miss: first two tiles uniform w4, then w8 — the
+        # probe hits, the device flag fires, the general kernel re-runs
         "miss": np.concatenate([
             g.integers(0, 16, tile * 2).astype(np.uint8),
             g.integers(0, 256, tile).astype(np.uint8)]),
+        # uniform with a partial tail tile (pad frames must not trip
+        # the flag; probe requires a full first tile)
+        "w4-tail": g.integers(0, 16, tile * 2 + 301).astype(np.uint8),
     }
     for name, data in cases.items():
-        (b2, dense, total, woffs), frames = _auto_encode(data, R)
+        bits, values = fl_jax.encode(data, bucket_frames=32)
         bg, vg = fl_numpy.encode(data)
-        np.testing.assert_array_equal(
-            np.asarray(b2).reshape(-1)[:frames], bg, err_msg=name)
-        np.testing.assert_array_equal(
-            np.asarray(dense).reshape(-1).view(np.uint8)[:vg.size], vg,
-            err_msg=name)
-        # woffs must equal the host widths scan either way
-        rows = np.asarray(b2).shape[0]
-        fb = np.zeros(rows * 4, np.int64)
-        fb[:frames] = bg
-        wper = fb.reshape(len(np.asarray(woffs)), -1).sum(axis=1) * 4
-        np.testing.assert_array_equal(
-            np.asarray(woffs),
-            np.concatenate([[0], np.cumsum(wper)[:-1]]).astype(np.int32),
-            err_msg=name)
-        # decode auto round-trips off the encoder's own outputs
-        out = fl_dense_pallas.fl_decode_dense_auto(
-            np.asarray(dense).reshape(-1, 128), b2,
-            jnp.asarray(np.asarray(woffs)), jnp.int32(frames), tile_r=R)
-        np.testing.assert_array_equal(
-            np.asarray(out).reshape(-1).view(np.uint8)[:data.size], data,
-            err_msg=name)
+        np.testing.assert_array_equal(bits, bg, err_msg=name)
+        np.testing.assert_array_equal(values, vg, err_msg=name)
+        out = fl_jax.decode(data.size, bits, values, bucket_frames=32)
+        np.testing.assert_array_equal(out, data, err_msg=name)
+
+
+def test_host_probe_uniform_b():
+    g = np.random.default_rng(5)
+    R = 8
+    tile = R * 512
+    assert fl_dense_pallas.host_probe_uniform_b(
+        np.zeros(tile, np.uint8), R) == 1
+    w4 = g.integers(0, 16, tile).astype(np.uint8)
+    w4[::129] = 15
+    assert fl_dense_pallas.host_probe_uniform_b(w4, R) == 4
+    # odd widths and mixed first tiles are rejected
+    assert fl_dense_pallas.host_probe_uniform_b(
+        (g.integers(0, 4, tile) + 4).astype(np.uint8), R) is None
+    assert fl_dense_pallas.host_probe_uniform_b(
+        g.integers(0, 256, tile).astype(np.uint8).reshape(-1), R) in (
+            None, 8)
+    # short inputs (no full first tile) are rejected
+    assert fl_dense_pallas.host_probe_uniform_b(
+        np.zeros(tile - 1, np.uint8), R) is None
 
 
 def test_dense_uniform_kernels_direct():
@@ -370,9 +369,7 @@ def test_dense_uniform_kernels_direct():
     for fb, lo, hi in ((1, 0, 2), (2, 0, 4), (4, 0, 16), (8, 128, 256)):
         data = g.integers(lo, hi, tile * 2).astype(np.uint8)
         data[::137] = hi - 1          # pin the width
-        (_, _, _, _), frames = _auto_encode(data, R)  # warm shapes
-        buf = data
-        words = jnp.asarray(buf.view(np.uint32))
+        words = jnp.asarray(data.view(np.uint32))
         b2, dense, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
             words, jnp.int32(data.size // 128), fb, tile_r=R)
         assert int(flag) == 0
