@@ -572,7 +572,14 @@ def main() -> int:
             extra["e2e_codec_s"] = round(t_codec, 2)
             extra["e2e_write_s"] = round(t_write, 2)
 
-        sol_gbps = hbm_gbps / 2.0
+        # SOL on the credited-2N basis depends on the winning chain's
+        # actual traffic: the base field pair moves 4N bytes/iteration
+        # (ceiling 819/2), the pack-2 pair only 3N (ceiling 819·2/3) —
+        # without this a pack-2 win can report vs_baseline > 1 (one
+        # session measured 1.056) while sitting honestly below its own
+        # memory-bound ceiling.
+        sol_gbps = (hbm_gbps * 2.0 / 3.0 if extra.get("chain_pack") == 2
+                    else hbm_gbps / 2.0)
         metric = "fl_kernel_throughput"
     else:
         # Long-run synthetic (BASELINE.json RL config): mean run ~64

@@ -51,6 +51,13 @@ from .lanes import LANES, flat_idx
 # workspace-size bound).
 DENSE_TILE_R = int(os.environ.get("FLRL_DENSE_TILE_R", "256"))
 DENSE_DEC_TILE_R = int(os.environ.get("FLRL_DENSE_DEC_TILE_R", "256"))
+# The single-width kernels carry no routing dist fields (static masks
+# only), so the 2^15 cap does not apply — they use BIGGER tiles so that
+# even a width-1 stream's blocks stay DMA-efficient (fb·R/8 rows: 128
+# rows = 64 KB at fb=1, R=1024; at R=256 a w4 decode read only 64-row/
+# 32 KB blocks and measured SLOWER than the general window decoder).
+DENSE_UNIFORM_TILE_R = int(os.environ.get("FLRL_DENSE_UNIFORM_TILE_R",
+                                          "1024"))
 
 
 def _interpret() -> bool:
@@ -1101,9 +1108,8 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
     has width ``fb`` ∈ {1,2,4,8}.  Returns ``(bits2d, dense, flag)`` —
     ``flag`` nonzero means the assumption failed and ``dense`` is junk
     (callers re-run :func:`fl_encode_dense_pallas`); ``bits2d`` is
-    always the true widths.  ``dense`` has the same padded shape as the
-    general kernel's, so ``lax.cond`` fallbacks type-match."""
-    R = DENSE_TILE_R if tile_r is None else tile_r
+    always the true widths."""
+    R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
     assert fb in FAST_BS and R % 8 == 0
     nw = words.shape[0]
     assert nw % (R * LANES) == 0
@@ -1176,8 +1182,8 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
     BlockSpec pipeline, no window DMA, no offset scan.  Valid only when
     every frame's width is ``fb`` (callers check the widths header).
     ``dense2d`` rows must cover ``rows_out·fb/8`` and be a multiple of
-    ``Kr`` (the general encoder's padded buffer is, by construction)."""
-    R = DENSE_DEC_TILE_R if tile_r is None else tile_r
+    ``Kr`` (the encoders' padded buffers are, by construction)."""
+    R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
     assert fb in FAST_BS and R % 8 == 0
     assert rows_out % R == 0
     grid = rows_out // R
@@ -1217,7 +1223,7 @@ def host_probe_uniform_b(data: np.ndarray,
     None (callers use the general kernel).  The device kernel still
     verifies EVERY real frame (its flag is authoritative — a later
     mixed tile makes the caller re-run the general kernel)."""
-    R = DENSE_TILE_R if tile_r is None else tile_r
+    R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
     if R % 8 != 0 or data.size < R * 512:
         return None
     if _uniform_place_masks(R)[2] is None:

@@ -276,11 +276,13 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         # kernel (exp46/exp47: stripped single-width kernels pair
         # ~25% faster, but in-jit lax.switch/cond compositions copy the
         # branch results and lose the win — so the branch lives here)
-        fbp = fl_dense_pallas.host_probe_uniform_b(buf)
+        Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
+        fbp = (fl_dense_pallas.host_probe_uniform_b(buf, Ru)
+               if npad % (Ru * 512) == 0 else None)
         dense = None
         if fbp is not None:
             b2u, du, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
-                wordsj, nfj, fbp)
+                wordsj, nfj, fbp, tile_r=Ru)
             if int(jax.device_get(flag)) == 0:
                 bits2d, dense = b2u, du.reshape(-1)
         if dense is None:
@@ -376,15 +378,16 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         ba = bits[:frames]
         fbu = (int(ba[0]) if ba.size and (ba == ba[0]).all() else 0)
         from .fl_dense_pallas import _uniform_unplace_masks
-        if (fbu in (1, 2, 4, 8) and R % 8 == 0
-                and _uniform_unplace_masks(R)[2] is not None):
-            Kr = fbu * R // 8
-            need = (rows // R) * Kr
+        Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
+        if (fbu in (1, 2, 4, 8) and Ru % 8 == 0 and rows % Ru == 0
+                and _uniform_unplace_masks(Ru)[2] is not None):
+            Kr = fbu * Ru // 8
+            need = (rows // Ru) * Kr
             dbuf = np.zeros(need * 512, np.uint8)
             dbuf[: values.size] = values
             out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
                 jnp.asarray(dbuf.view(np.uint32).reshape(need, 128)),
-                fbu, rows)
+                fbu, rows, tile_r=Ru)
             return np.ascontiguousarray(
                 np.asarray(jax.device_get(out)).reshape(-1)).view(
                     np.uint8)[:n].copy()

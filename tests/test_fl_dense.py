@@ -309,6 +309,7 @@ def test_host_dispatch_through_fl_jax(monkeypatch):
 
     monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
     monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 8)
     monkeypatch.setattr(fl_jax, "_use_dense",
                         lambda L, nw: L == 128 and nw % 1024 == 0)
     monkeypatch.setattr(fl_jax, "_use_dense_dec", fl_jax._use_dense)
