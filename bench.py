@@ -496,8 +496,16 @@ def main() -> int:
         _, t_sh = timed(
             lambda: dist.fl_compress_sharded(mesh, words2d, ns1),
             args.reps)
+        # the bare-kernel reference probe is re-taken HERE so the ratio
+        # compares same-neighborhood measurements (the tile-tuning probe
+        # ran minutes earlier; inter-probe drift once reported 0.557)
+        _, t_bare = timed(
+            lambda: (fl_pallas.fl_encode_fields_pallas(
+                words, nn, frame_length=128, tile_r=extra["enc_tile"])
+                if use_pallas else fl_jax.fl_encode_fields(words, nn)),
+            args.reps)
         extra["sharded_enc_gbps"] = round(n / 1e9 / t_sh, 1)
-        extra["sharded_eff"] = round(t_enc / t_sh, 3)
+        extra["sharded_eff"] = round(t_bare / t_sh, 3)
 
         # End-to-end: file -> container via the real single-chip pipeline
         # (load, H2D, kernel, D2H of widths+fields, host fold, container
