@@ -374,6 +374,13 @@ def main() -> int:
                 # all-zeros (width-1 frames — the dominant real-world
                 # low-entropy class; globally-uniform fast dispatch)
                 dense_arm("_zeros", np.zeros(npad, np.uint8))
+                # incompressible bytes (uniform width-8: the stripped
+                # kernels' identity pack/place — the dense path's upper
+                # envelope)
+                w8b = rng.integers(0, 256, npad, np.uint8)
+                w8b[::64] |= 128            # pin every frame at width 8
+                w8b[n:] = 0
+                dense_arm("_w8", w8b)
                 # per-frame random widths 1..8 (every full tile mixed →
                 # the general routing network, VERDICT r2 item 2)
                 mixed = rng.integers(0, 256, npad, np.uint8)
