@@ -1048,15 +1048,17 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
 # cursor, no manual DMA, no routing bookkeeping beyond the trace-time
 # masks.
 #
-# Dispatch is SPECULATIVE on encode (widths are not known up front): a
-# cheap XLA probe of the first tile picks fb; the fast kernel verifies
-# every REAL frame as it encodes (it computes the widths anyway) and
-# raises a flag on any mismatch, in which case ``lax.cond`` re-runs the
-# general kernel — the wasted fast pass costs about half a general
-# pass, and only on streams whose FIRST tile is uniform but a later one
-# is not (a probe miss on genuinely mixed data costs one tiny slice
-# reduce).  Decode needs no speculation: the widths header is in hand,
-# so uniformity is an exact cheap reduce.
+# Dispatch is SPECULATIVE on encode (widths are not known up front) and
+# lives on the HOST (ops/fl_jax.py): a free NumPy probe of the first
+# tile picks fb; the fast kernel verifies every REAL frame as it
+# encodes (it computes the widths anyway) and raises a flag on any
+# mismatch, in which case the caller re-runs the general kernel — the
+# wasted fast pass costs about half a general pass, and only on streams
+# whose FIRST tile is uniform but a later one is not.  In-jit
+# lax.switch/cond compositions were A/B'd on chip and REFUTED (exp47):
+# they copy branch results and lose the stripped kernels' win.  Decode
+# needs no speculation: the widths header is in hand, so the host
+# checks it exactly.
 # ---------------------------------------------------------------------------
 
 
