@@ -179,6 +179,53 @@ def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
     return fn(words2d, nframes)
 
 
+def _fl_local_encode_dense_uniform(fb):
+    def f(words, n_frames):
+        from ..ops import fl_dense_pallas
+        b2, dense, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
+            words[0], n_frames[0], fb)
+        return b2[None], dense[None], flag[None]
+    return f
+
+
+def fl_compress_sharded_dense_uniform(mesh: Mesh, words2d: jax.Array,
+                                      nframes: jax.Array, fb: int):
+    """Per-shard SINGLE-WIDTH dense encode (speculative — see
+    ops/fl_dense_pallas.py): every chip runs the stripped BlockSpec
+    kernel; the caller validates from the pulled widths (or the
+    per-shard flags) and re-runs the general program on a miss."""
+    fn = _cached(
+        ("fl_enc_dense_u", mesh, fb),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_encode_dense_uniform(fb), mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+            check_vma=False)))
+    return fn(words2d, nframes)
+
+
+def _fl_local_decode_dense_uniform(fb, rows_shard):
+    def f(dense, n_frames):
+        from ..ops import fl_dense_pallas
+        out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+            dense[0], fb, rows_shard)
+        return out[None]
+    return f
+
+
+def fl_decompress_sharded_dense_uniform(mesh: Mesh, dense3d, nframes,
+                                        fb: int, rows_shard: int):
+    """Per-shard SINGLE-WIDTH dense decode (exact — the widths header is
+    known): each chip block-walks its own compressed slice."""
+    fn = _cached(
+        ("fl_dec_dense_u", mesh, fb, rows_shard),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_decode_dense_uniform(fb, rows_shard), mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS)),
+            out_specs=P(AXIS, None, None), check_vma=False)))
+    return fn(dense3d, nframes)
+
+
 def _fl_merged_encode_dense(frame_length):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
@@ -355,12 +402,30 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
     nfs = [_frames_of(plan, i, frame_length) for i in range(n_dev)]
     if fl_jax._use_dense(frame_length, plan.shard_npad // 4):
         # dense per-shard streams: device assembles the exact packed
-        # bytes; host pulls only each shard's compressed prefix
-        bits_d, dense_d, _ = fl_compress_sharded_dense(
-            mesh, jnp.asarray(words2d),
-            jnp.asarray([-(-int(x) // frame_length) for x in plan.ns],
-                        jnp.int32), frame_length)
-        bits_h = np.asarray(jax.device_get(bits_d))
+        # bytes; host pulls only each shard's compressed prefix.
+        # Globally-uniform speculation, multi-chip: one host probe of
+        # the file head selects the stripped single-width shard program;
+        # the pulled per-shard flags are authoritative and a miss
+        # re-runs the general program (ops/fl_dense_pallas.py).
+        from ..ops import fl_dense_pallas
+        wd = jnp.asarray(words2d)
+        nfs_arr = jnp.asarray(
+            [-(-int(x) // frame_length) for x in plan.ns], jnp.int32)
+        Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
+        fbp = (fl_dense_pallas.host_probe_uniform_b(data, Ru)
+               if frame_length == 128
+               and plan.shard_npad % (Ru * 512) == 0 else None)
+        bits_h = dense_d = None
+        if fbp is not None:
+            b_u, d_u, flags = fl_compress_sharded_dense_uniform(
+                mesh, wd, nfs_arr, fbp)
+            if not int(np.asarray(jax.device_get(flags)).sum()):
+                bits_h = np.asarray(jax.device_get(b_u))
+                dense_d = d_u.reshape(n_dev, -1)
+        if bits_h is None:
+            bits_d, dense_d, _ = fl_compress_sharded_dense(
+                mesh, wd, nfs_arr, frame_length)
+            bits_h = np.asarray(jax.device_get(bits_d))
         bits_parts, values_parts = [], []
         off = 0
         for i in range(n_dev):
@@ -492,6 +557,39 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
             raise ValueError(
                 "fl decode: corrupt container (bits array shorter than "
                 f"frame count: {comp.bits.size} < {-(-n // frame_length)})")
+        # uniform widths header → single-width sharded block-walk decode
+        frames_all = -(-n // frame_length)
+        ba = comp.bits[:frames_all]
+        fbu = int(ba[0]) if ba.size and (ba == ba[0]).all() else 0
+        Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
+        if (fbu in (1, 2, 4, 8) and frame_length == 128
+                and rows_shard % Ru == 0
+                and fl_dense_pallas._uniform_unplace_masks(Ru)[2]
+                is not None):
+            Kr = fbu * Ru // 8
+            need = rows_shard // Ru * Kr
+            dense3d = np.zeros((n_dev, need, 128), np.uint32)
+            nfr = np.zeros(n_dev, np.int32)
+            fstart = 0
+            voff = 0
+            for i in range(n_dev):
+                nf_i = _frames_of(plan, i, frame_length)
+                counts = np.minimum(
+                    int(plan.ns[i]) - np.arange(nf_i, dtype=np.int64)
+                    * frame_length, frame_length)
+                vsz = int(((np.int64(fbu) * counts + 7) // 8).sum())
+                dense3d[i].reshape(-1).view(np.uint8)[:vsz] = \
+                    comp.values[voff:voff + vsz]
+                nfr[i] = nf_i
+                fstart += nf_i
+                voff += vsz
+            out = jax.device_get(fl_decompress_sharded_dense_uniform(
+                mesh, jnp.asarray(dense3d), jnp.asarray(nfr), fbu,
+                rows_shard))
+            out_bytes = np.ascontiguousarray(
+                np.asarray(out)).view(np.uint8).reshape(n_dev, -1)
+            return np.concatenate(
+                [out_bytes[i, : plan.ns[i]] for i in range(n_dev)])
         grid_l = rows_shard // R
         pad_rows = rows_shard + R + 32
         dense3d = np.zeros((n_dev, pad_rows, 128), np.uint32)

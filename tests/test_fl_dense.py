@@ -390,3 +390,40 @@ def test_dense_uniform_kernels_direct():
         jnp.asarray(data.view(np.uint32)), jnp.int32(data.size // 128),
         4, tile_r=R)
     assert int(flag) == 1
+
+
+def test_dist_dense_uniform_sharded(monkeypatch):
+    """The multi-chip globally-uniform speculation (one host probe →
+    single-width shard program → flag/widths validation → general
+    re-run on miss) must be byte-exact with the golden on hit, miss and
+    mixed streams, both directions, across the 8-device mesh."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    from fl_rl_compression_mpi_tpu.parallel import dist
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    monkeypatch.setattr(fl_jax, "_use_dense_dec", fl_jax._use_dense)
+    g = np.random.default_rng(23)
+    mesh = dist.make_mesh()
+    size = 128 * 32 * 8 * 3 + 99
+    cases = {
+        "w4-hit": g.integers(0, 16, size).astype(np.uint8),
+        "w1-hit": np.zeros(size, np.uint8),
+        "mixed": g.integers(0, 256, size).astype(np.uint8),
+        # probe hits on the file head, a later shard violates → the
+        # per-shard flags force the general program
+        "miss": np.concatenate([
+            g.integers(0, 16, size // 2).astype(np.uint8),
+            g.integers(0, 256, size - size // 2).astype(np.uint8)]),
+    }
+    for name, data in cases.items():
+        comp = dist.compress_fl(data, mesh, bucket_frames=32)
+        bg, vg = fl_numpy.encode(data)
+        np.testing.assert_array_equal(comp.bits, bg, err_msg=name)
+        np.testing.assert_array_equal(comp.values, vg, err_msg=name)
+        np.testing.assert_array_equal(
+            dist.decompress_fl(comp, mesh, bucket_frames=32), data,
+            err_msg=name)
