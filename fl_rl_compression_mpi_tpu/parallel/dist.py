@@ -688,7 +688,17 @@ def decompress_rl(comp: RLCompressed, mesh: Mesh | None = None,
             nrs[i] = hi - lo
             ns[i] = int(comp.counts[lo:hi].astype(np.int64).sum())
     out_pad = max(bucket, -(-int(ns.max()) // bucket) * bucket)
+    # Exact static run-window hint from the host counts (the worst case
+    # reads ~8 compressed bytes per decoded byte; the hint shrinks the
+    # window DMA up to 16× on compressible data — rl_pallas.py).  The
+    # shard_map program is one executable, so take the max over shards.
+    from ..ops import rl_pallas
+    win_rows = max(
+        (rl_pallas.decode_window_rows(counts2d[i, : nrs[i]],
+                                      out_pad // 128)
+         for i in range(n_dev) if nrs[i]), default=None)
     out = jax.device_get(rl_decompress_sharded(
         mesh, jnp.asarray(counts2d), jnp.asarray(values2d),
-        jnp.asarray(nrs), jnp.asarray(ns, jnp.int32), out_pad))
+        jnp.asarray(nrs), jnp.asarray(ns, jnp.int32), out_pad,
+        win_rows=win_rows))
     return np.concatenate([out[i, : ns[i]] for i in range(n_dev)])
