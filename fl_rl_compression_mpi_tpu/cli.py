@@ -91,9 +91,15 @@ def _run_multihost(args) -> int:
     like one MPI rank per node); process 0 writes the output.  Uses the
     rank-ordered streaming merge (bounded memory) — see
     parallel/multihost.py."""
+    import jax
+
     from .parallel import multihost
+    from .utils.timers import set_stage_timers
     multihost.init_distributed(args.coordinator, args.num_processes,
                                args.process_id)
+    # rank-tagged per-stage [TIMER] lines (reference: file_io.cu:64,
+    # cpu_timer.cu:19-27 — whose rank-tagged print never fired)
+    set_stage_timers(args.timers, rank=jax.process_index())
     method = _resolve(args.method)
     family = "rl" if method.startswith("rl") else "fl"
     if args.operation == "c":
@@ -184,6 +190,13 @@ def _enable_compile_cache() -> None:
 def main(argv=None) -> int:
     args = _parser().parse_args(argv)
     _enable_compile_cache()
+    # per-stage [TIMER] lines inside the codec drivers (H2D, kernel,
+    # D2H, host fold/unfold) — observability parity with the
+    # reference's per-phase timers (fl_gpu.cu:317-415, :573-637).
+    # Set unconditionally: in-process callers (tests) run main() many
+    # times and must not inherit a previous run's switch.
+    from .utils.timers import set_stage_timers
+    set_stage_timers(args.timers)
     if args.frame_length <= 0 or args.frame_length % 8:
         print("[ERROR] --frame-length must be a positive multiple of 8 "
               "(frame byte-alignment invariant)", file=sys.stderr)

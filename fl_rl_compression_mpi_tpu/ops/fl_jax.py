@@ -266,9 +266,16 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
     frames = -(-n // frame_length)
+    # Per-stage [TIMER] instrumentation (no-op unless the CLI enabled it):
+    # stage names mirror the reference's per-phase timer lines inside
+    # gpuCompress (/root/reference/src/fl/fl_gpu.cu:317-415).
+    from ..utils.timers import stage
     if _use_dense(frame_length, npad // 4):
         from . import fl_dense_pallas
-        wordsj = jnp.asarray(buf.view(np.uint32))
+        h2d = []
+        with stage("Copy input data to TPU", npad, result=h2d):
+            wordsj = jnp.asarray(buf.view(np.uint32))
+            h2d.append(wordsj)
         nfj = jnp.int32(frames)
         # speculative globally-uniform dispatch, HOST-controlled: the
         # probe is a free NumPy pass (data is in host memory), the
@@ -280,44 +287,62 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         fbp = (fl_dense_pallas.host_probe_uniform_b(buf, Ru)
                if npad % (Ru * 512) == 0 else None)
         dense = None
-        if fbp is not None:
-            b2u, du, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
-                wordsj, nfj, fbp, tile_r=Ru)
-            if int(jax.device_get(flag)) == 0:
-                bits2d, dense = b2u, du.reshape(-1)
-        if dense is None:
-            bits2d, dense, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
-                wordsj, nfj)
-        bits = np.asarray(jax.device_get(bits2d)).reshape(-1)[:frames]
-        counts = np.minimum(
-            n - np.arange(frames, dtype=np.int64) * frame_length,
-            frame_length)
-        vsz = int(((bits.astype(np.int64) * counts + 7) // 8).sum())
-        values = np.asarray(
-            jax.device_get(dense[: -(-vsz // 4)])).view(np.uint8)[:vsz]
+        krn = []
+        with stage("Compression", n, result=krn):
+            if fbp is not None:
+                b2u, du, flag = \
+                    fl_dense_pallas.fl_encode_dense_uniform_pallas(
+                        wordsj, nfj, fbp, tile_r=Ru)
+                if int(jax.device_get(flag)) == 0:
+                    bits2d, dense = b2u, du.reshape(-1)
+            if dense is None:
+                bits2d, dense, _, _ = \
+                    fl_dense_pallas.fl_encode_dense_pallas(wordsj, nfj)
+            krn += [bits2d, dense]
+        with stage("Copy results to CPU") as t:
+            bits = np.asarray(jax.device_get(bits2d)).reshape(-1)[:frames]
+            counts = np.minimum(
+                n - np.arange(frames, dtype=np.int64) * frame_length,
+                frame_length)
+            vsz = int(((bits.astype(np.int64) * counts + 7) // 8).sum())
+            values = np.asarray(
+                jax.device_get(dense[: -(-vsz // 4)])).view(np.uint8)[:vsz]
+            if t:
+                t.add_transfer_size(frames + vsz)
         return bits, values
     wpf = frame_length // 4
     if _use_pack2(frame_length, npad // 4):
         from . import fl_pallas
         from .fields import fold_p2
-        b2d, packed_d = fl_pallas.fl_encode_fields_packed_pallas(
-            jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
+        krn = []
+        with stage("Compression", n, result=krn):
+            b2d, packed_d = fl_pallas.fl_encode_fields_packed_pallas(
+                jnp.asarray(buf.view(np.uint32)), jnp.int32(n),
+                frame_length)
+            krn += [b2d, packed_d]
         bits = np.asarray(jax.device_get(b2d)).reshape(-1)[:frames]
         if int(bits.max()) <= 4:
             tile_w = fl_pallas.PACK_TILE_R * 128
             need = -(-(frames * wpf) // tile_w) * (tile_w // 2)
-            packed_h = np.asarray(jax.device_get(packed_d[:need]))
-            return bits, fold_p2(packed_h, bits, n, frame_length,
-                                 fl_pallas.PACK_TILE_R)
+            with stage("Copy results to CPU", frames + need * 4):
+                packed_h = np.asarray(jax.device_get(packed_d[:need]))
+            with stage("Host fold (ragged placement)", n):
+                return bits, fold_p2(packed_h, bits, n, frame_length,
+                                     fl_pallas.PACK_TILE_R)
         # speculation miss (some width > 4): fall through to the base
         # kernel — one extra device pass
-    bits_d, fields_d = encode_fields_device(
-        jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
+    krn = []
+    with stage("Compression", n, result=krn):
+        bits_d, fields_d = encode_fields_device(
+            jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
+        krn += [bits_d, fields_d]
     # Pallas returns bits 2-D (rows, 128/wpf); XLA returns (F,) — both
     # flatten to frame order on host.
-    bits = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
-    fields_h = np.asarray(jax.device_get(fields_d))[: frames * wpf]
-    return bits, fold(fields_h, bits, n, frame_length)
+    with stage("Copy results to CPU", frames + frames * wpf * 4):
+        bits = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
+        fields_h = np.asarray(jax.device_get(fields_d))[: frames * wpf]
+    with stage("Host fold (ragged placement)", n):
+        return bits, fold(fields_h, bits, n, frame_length)
 
 
 def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
@@ -359,6 +384,10 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
                 values[voffs[f0]:voffs[f1]], frame_length, bucket_frames))
         return np.concatenate(parts)
     npad = pad_to_frames(n, frame_length, bucket_frames)
+    # Per-stage [TIMER] instrumentation (no-op unless the CLI enabled it):
+    # stage names mirror the reference's gpuDecompress timer lines
+    # (/root/reference/src/fl/fl_gpu.cu:573-637).
+    from ..utils.timers import stage
     if _use_dense_dec(frame_length, npad // 4):
         from . import fl_dense_pallas
         R = fl_dense_pallas.DENSE_DEC_TILE_R
@@ -385,45 +414,71 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
             need = (rows // Ru) * Kr
             dbuf = np.zeros(need * 512, np.uint8)
             dbuf[: values.size] = values
-            out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
-                jnp.asarray(dbuf.view(np.uint32).reshape(need, 128)),
-                fbu, rows, tile_r=Ru)
-            return np.ascontiguousarray(
-                np.asarray(jax.device_get(out)).reshape(-1)).view(
-                    np.uint8)[:n].copy()
+            h2d = []
+            with stage("Copy input to TPU", values.size, result=h2d):
+                dwords = jnp.asarray(
+                    dbuf.view(np.uint32).reshape(need, 128))
+                h2d.append(dwords)
+            krn = []
+            with stage("Decompression", n, result=krn):
+                out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+                    dwords, fbu, rows, tile_r=Ru)
+                krn.append(out)
+            with stage("Copy results to CPU", n):
+                return np.ascontiguousarray(
+                    np.asarray(jax.device_get(out)).reshape(-1)).view(
+                        np.uint8)[:n].copy()
         vwords = -(-values.size // 4)
         pad_rows = vwords // 128 + R + 32
         dbuf = np.zeros(pad_rows * 512, np.uint8)
         dbuf[: values.size] = values
         b2 = np.zeros((rows, 4), np.uint8)
         b2.reshape(-1)[:frames] = bits[:frames]
-        out = fl_dense_pallas.fl_decode_dense_pallas(
-            jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128)),
-            jnp.asarray(b2), jnp.asarray(woffs), jnp.int32(frames))
-        return np.ascontiguousarray(
-            np.asarray(jax.device_get(out)).reshape(-1)).view(
-                np.uint8)[:n].copy()
+        h2d = []
+        with stage("Copy input to TPU", values.size + frames, result=h2d):
+            dwords = jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128))
+            b2d = jnp.asarray(b2)
+            h2d += [dwords, b2d]
+        krn = []
+        with stage("Decompression", n, result=krn):
+            out = fl_dense_pallas.fl_decode_dense_pallas(
+                dwords, b2d, jnp.asarray(woffs), jnp.int32(frames))
+            krn.append(out)
+        with stage("Copy results to CPU", n):
+            return np.ascontiguousarray(
+                np.asarray(jax.device_get(out)).reshape(-1)).view(
+                    np.uint8)[:n].copy()
     fpad = npad // frame_length
     wpf = frame_length // 4
     if (_use_pack2(frame_length, npad // 4)
             and int(bits[:frames].max()) <= 4):
         from . import fl_pallas
         from .fields import unfold_p2
-        packed_h = unfold_p2(values, bits[:frames], n, frame_length,
-                             fl_pallas.PACK_TILE_R, npad // 8)
+        with stage("Host unfold (ragged placement)", n):
+            packed_h = unfold_p2(values, bits[:frames], n, frame_length,
+                                 fl_pallas.PACK_TILE_R, npad // 8)
         b2 = np.zeros(fpad, np.uint8)
         b2[:frames] = bits[:frames]
-        out = fl_pallas.fl_decode_fields_packed_pallas(
-            jnp.asarray(packed_h),
-            jnp.asarray(b2.reshape(npad // 512, 128 // wpf)),
-            jnp.int32(n), frame_length)
-        return np.asarray(jax.device_get(out)).view(np.uint8)[:n]
-    fields_h = unfold(values, bits, n, frame_length)
+        krn = []
+        with stage("Decompression", n, result=krn):
+            out = fl_pallas.fl_decode_fields_packed_pallas(
+                jnp.asarray(packed_h),
+                jnp.asarray(b2.reshape(npad // 512, 128 // wpf)),
+                jnp.int32(n), frame_length)
+            krn.append(out)
+        with stage("Copy results to CPU", n):
+            return np.asarray(jax.device_get(out)).view(np.uint8)[:n]
+    with stage("Host unfold (ragged placement)", n):
+        fields_h = unfold(values, bits, n, frame_length)
     fbuf = np.zeros(fpad * wpf, np.uint32)
     fbuf[: fields_h.size] = fields_h
     bbuf = np.zeros(fpad, np.uint8)
     bbuf[: bits.size] = bits
     bprep = prep_decode_bits(bbuf, npad // 4, frame_length)
-    out = decode_fields_device(jnp.asarray(fbuf), jnp.asarray(bprep),
-                               jnp.int32(n), frame_length)
-    return np.asarray(jax.device_get(out)).view(np.uint8)[:n]
+    krn = []
+    with stage("Decompression", n, result=krn):
+        out = decode_fields_device(jnp.asarray(fbuf), jnp.asarray(bprep),
+                                   jnp.int32(n), frame_length)
+        krn.append(out)
+    with stage("Copy results to CPU", n):
+        return np.asarray(jax.device_get(out)).view(np.uint8)[:n]

@@ -169,10 +169,22 @@ def encode(data: np.ndarray, bucket: int = 1 << 20):
     npad = _pad(n, bucket)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
-    enc = rl_encode_device(jnp.asarray(buf), jnp.int32(n))
+    # Per-stage [TIMER] lines (no-op unless the CLI enabled them) —
+    # observability parity with the reference's per-phase codec timers
+    # (/root/reference/src/fl/fl_gpu.cu:317-415; RL is spec-only there).
+    from ..utils.timers import stage
+    h2d = []
+    with stage("Copy input data to TPU", npad, result=h2d):
+        dataj = jnp.asarray(buf)
+        h2d.append(dataj)
+    krn = []
+    with stage("Compression", n, result=krn):
+        enc = rl_encode_device(dataj, jnp.int32(n))
+        krn += [enc.counts, enc.num_runs]
     r = int(enc.num_runs)
-    return (np.asarray(jax.device_get(enc.counts[:r])),
-            np.asarray(jax.device_get(enc.values[:r])))
+    with stage("Copy results to CPU", 2 * r):
+        return (np.asarray(jax.device_get(enc.counts[:r])),
+                np.asarray(jax.device_get(enc.values[:r])))
 
 
 def decode(counts: np.ndarray, values: np.ndarray,
@@ -195,7 +207,16 @@ def decode(counts: np.ndarray, values: np.ndarray,
     # measured FASTER than hinted small windows (10.9 vs 7.5 GB/s,
     # exp14) — window reads are bandwidth-trivial; per-tile compute
     # dominates.  Hints pay off only for large multi-sub tiles.
-    out = jax.device_get(rl_decode_device(
-        jnp.asarray(cbuf), jnp.asarray(vbuf), jnp.int32(r), jnp.int32(n),
-        out_pad))
+    from ..utils.timers import stage
+    h2d = []
+    with stage("Copy input to TPU", 2 * rpad, result=h2d):
+        cj, vj = jnp.asarray(cbuf), jnp.asarray(vbuf)
+        h2d += [cj, vj]
+    krn = []
+    with stage("Decompression", n, result=krn):
+        outd = rl_decode_device(cj, vj, jnp.int32(r), jnp.int32(n),
+                                out_pad)
+        krn.append(outd)
+    with stage("Copy results to CPU", n):
+        out = jax.device_get(outd)
     return np.asarray(out)[:n]

@@ -44,7 +44,25 @@ import jax
 from .. import container, fileio
 from ..container import _HEADER
 from ..ops.bitpack import FRAME_LENGTH
+from ..utils.timers import stage, stage_timers_enabled
 from . import dist
+
+
+def _load_shard_timed(input_path: str, pid: int, nproc: int,
+                      frame_length: int = FRAME_LENGTH):
+    """Rank-tagged sharded load (the reference prints a per-rank loader
+    line + a 'Load data from file' timer from ``loadFileMpi``,
+    ``file_io.cu:28-71``; its rank-tagged timer never printed because of
+    the dangling-else defect, ``cpu_timer.cu:19-27`` — fixed here)."""
+    with stage("Load data from file") as t:
+        data, off = fileio.load_file_sharded(input_path, pid, nproc,
+                                             frame_length)
+        if t:
+            t.add_transfer_size(data.size)
+    if stage_timers_enabled():
+        print(f"[Rank {pid}] Loaded {data.size} bytes starting from "
+              f"offset {off}")
+    return data, off
 
 # Fixed per-round payload size for the streaming merge.  Per-process peak
 # is num_processes × chunk (the gathered round), tunable via env.
@@ -207,23 +225,27 @@ def compress_fl_file(input_path: str, output_path: str,
     pid = jax.process_index()
 
     # Rank's chunk of the shared file (frame-aligned reference split).
-    data, _ = fileio.load_file_sharded(input_path, pid, nproc, frame_length)
+    data, _ = _load_shard_timed(input_path, pid, nproc, frame_length)
     total_size = np.int64(_file_size(input_path))
 
     # Local mesh over this process's chips; encode the local chunk
     # (each process is one "MPI rank" — its work must stay addressable).
     mesh = dist.make_local_mesh()
-    comp = dist.compress_fl(np.asarray(data), mesh, frame_length,
-                            bucket_frames)
+    with stage("Compression", data.size):
+        comp = dist.compress_fl(np.asarray(data), mesh, frame_length,
+                                bucket_frames)
 
     if nproc == 1:
         assert int(total_size) == int(comp.input_size)
-        container.save_fl(output_path, comp)
+        with stage("Save data to file",
+                   comp.bits.size + comp.values.size):
+            container.save_fl(output_path, comp)
         return
 
     # Sizes-only exchange (MPI_Allgather analog, fl_gpu.cu:101-106).
-    sizes = _process_allgather(np.asarray(
-        [comp.bits.size, comp.values.size, data.size], np.int64))
+    with stage("Gather metadata from all nodes", 24 * nproc):
+        sizes = _process_allgather(np.asarray(
+            [comp.bits.size, comp.values.size, data.size], np.int64))
     bsizes, vsizes = sizes[:, 0], sizes[:, 1]
     boffs = _HEADER.size + np.concatenate([[0], np.cumsum(bsizes)[:-1]])
     voffs = (_HEADER.size + int(bsizes.sum())
@@ -232,12 +254,14 @@ def compress_fl_file(input_path: str, output_path: str,
     assert int(total_size) == int(sizes[:, 2].sum())
 
     if _shared_fs():
-        _direct_write_pieces(
-            output_path, total_payload,
-            _HEADER.pack(int(total_size), int(bsizes.sum()),
-                         int(vsizes.sum())),
-            [(int(boffs[pid]), comp.bits),
-             (int(voffs[pid]), comp.values)])
+        with stage("Write own byte range (shared fs)",
+                   comp.bits.size + comp.values.size):
+            _direct_write_pieces(
+                output_path, total_payload,
+                _HEADER.pack(int(total_size), int(bsizes.sum()),
+                             int(vsizes.sum())),
+                [(int(boffs[pid]), comp.bits),
+                 (int(voffs[pid]), comp.values)])
         return
 
     fd = None
@@ -248,14 +272,18 @@ def compress_fl_file(input_path: str, output_path: str,
         os.pwrite(fd, _HEADER.pack(int(total_size), int(bsizes.sum()),
                                    int(vsizes.sum())), 0)
     try:
-        _stream_to_host0(
-            comp.bits, bsizes,
-            lambda p, pos, piece: _pwrite(fd, int(boffs[p]) + pos, piece),
-            chunk)
-        _stream_to_host0(
-            comp.values, vsizes,
-            lambda p, pos, piece: _pwrite(fd, int(voffs[p]) + pos, piece),
-            chunk)
+        with stage("Stream compressed data to node 0",
+                   comp.bits.size + comp.values.size):
+            _stream_to_host0(
+                comp.bits, bsizes,
+                lambda p, pos, piece: _pwrite(fd, int(boffs[p]) + pos,
+                                              piece),
+                chunk)
+            _stream_to_host0(
+                comp.values, vsizes,
+                lambda p, pos, piece: _pwrite(fd, int(voffs[p]) + pos,
+                                              piece),
+                chunk)
     finally:
         if fd is not None:
             os.close(fd)
@@ -274,27 +302,32 @@ def compress_rl_file(input_path: str, output_path: str,
     distributed semantics)."""
     nproc = jax.process_count()
     pid = jax.process_index()
-    data, _ = fileio.load_file_sharded(input_path, pid, nproc, FRAME_LENGTH)
+    data, _ = _load_shard_timed(input_path, pid, nproc, FRAME_LENGTH)
     mesh = dist.make_local_mesh()
-    comp = dist.compress_rl(np.asarray(data), mesh, bucket_frames)
+    with stage("Compression", data.size):
+        comp = dist.compress_rl(np.asarray(data), mesh, bucket_frames)
 
     if nproc == 1:
-        container.save_rl(output_path, comp)
+        with stage("Save data to file", 2 * comp.counts.size):
+            container.save_rl(output_path, comp)
         return
 
-    sizes = _process_allgather(np.asarray(
-        [comp.counts.size, data.size], np.int64))
+    with stage("Gather metadata from all nodes", 16 * nproc):
+        sizes = _process_allgather(np.asarray(
+            [comp.counts.size, data.size], np.int64))
     rsizes = sizes[:, 0]
     r_total = int(rsizes.sum())
     coffs = _HEADER.size + np.concatenate([[0], np.cumsum(rsizes)[:-1]])
     voffs = coffs + r_total
 
     if _shared_fs():
-        _direct_write_pieces(
-            output_path, _HEADER.size + 2 * r_total,
-            _HEADER.pack(int(sizes[:, 1].sum()), r_total, r_total),
-            [(int(coffs[pid]), comp.counts),
-             (int(voffs[pid]), comp.values)])
+        with stage("Write own byte range (shared fs)",
+                   2 * comp.counts.size):
+            _direct_write_pieces(
+                output_path, _HEADER.size + 2 * r_total,
+                _HEADER.pack(int(sizes[:, 1].sum()), r_total, r_total),
+                [(int(coffs[pid]), comp.counts),
+                 (int(voffs[pid]), comp.values)])
         return
 
     fd = None
@@ -305,14 +338,18 @@ def compress_rl_file(input_path: str, output_path: str,
         os.pwrite(fd, _HEADER.pack(int(sizes[:, 1].sum()), r_total,
                                    r_total), 0)
     try:
-        _stream_to_host0(
-            comp.counts, rsizes,
-            lambda p, pos, piece: _pwrite(fd, int(coffs[p]) + pos, piece),
-            chunk)
-        _stream_to_host0(
-            comp.values, rsizes,
-            lambda p, pos, piece: _pwrite(fd, int(voffs[p]) + pos, piece),
-            chunk)
+        with stage("Stream compressed data to node 0",
+                   2 * comp.counts.size):
+            _stream_to_host0(
+                comp.counts, rsizes,
+                lambda p, pos, piece: _pwrite(fd, int(coffs[p]) + pos,
+                                              piece),
+                chunk)
+            _stream_to_host0(
+                comp.values, rsizes,
+                lambda p, pos, piece: _pwrite(fd, int(voffs[p]) + pos,
+                                              piece),
+                chunk)
     finally:
         if fd is not None:
             os.close(fd)
@@ -368,13 +405,16 @@ def decompress_fl_file(input_path: str, output_path: str,
         raise IOError("[FileIO] corrupt FL container: packed stream "
                       "shorter than the widths imply")
 
-    values = fileio.load_range(input_path, head + v0, my_vbytes)
+    with stage("Load data from file", my_vbytes):
+        values = fileio.load_range(input_path, head + v0, my_vbytes)
     sub = container.FLCompressed(bits_all[f0:f1], values, my_n)
-    out = dist.decompress_fl(sub, dist.make_local_mesh(), frame_length,
-                             bucket_frames)
+    with stage("Decompression", my_n):
+        out = dist.decompress_fl(sub, dist.make_local_mesh(), frame_length,
+                                 bucket_frames)
 
     if _shared_fs():
-        _direct_write_pieces(output_path, n, None, [(my_off, out)])
+        with stage("Write own byte range (shared fs)", out.size):
+            _direct_write_pieces(output_path, n, None, [(my_off, out)])
         return
     sizes = _process_allgather(np.asarray([my_n, my_off], np.int64))
     fd = None
@@ -383,11 +423,12 @@ def decompress_fl_file(input_path: str, output_path: str,
                      0o644)
         os.ftruncate(fd, n)
     try:
-        _stream_to_host0(
-            out, sizes[:, 0],
-            lambda p, pos, piece: _pwrite(fd, int(sizes[p, 1]) + pos,
-                                          piece),
-            chunk)
+        with stage("Stream decoded data to node 0", out.size):
+            _stream_to_host0(
+                out, sizes[:, 0],
+                lambda p, pos, piece: _pwrite(fd, int(sizes[p, 1]) + pos,
+                                              piece),
+                chunk)
     finally:
         if fd is not None:
             os.close(fd)
@@ -416,12 +457,14 @@ def decompress_rl_file(input_path: str, output_path: str,
     per = -(-counts_size // nproc)
     lo = min(pid * per, counts_size)
     hi = min(lo + per, counts_size)
-    counts = fileio.load_range(input_path, _HEADER.size + lo, hi - lo)
-    values = fileio.load_range(input_path,
-                               _HEADER.size + counts_size + lo, hi - lo)
+    with stage("Load data from file", 2 * (hi - lo)):
+        counts = fileio.load_range(input_path, _HEADER.size + lo, hi - lo)
+        values = fileio.load_range(
+            input_path, _HEADER.size + counts_size + lo, hi - lo)
     my_n = int(counts.astype(np.int64).sum())
     sub = container.RLCompressed(counts, values, my_n)
-    out = dist.decompress_rl(sub, dist.make_local_mesh(), bucket)
+    with stage("Decompression", my_n):
+        out = dist.decompress_rl(sub, dist.make_local_mesh(), bucket)
 
     sizes = _process_allgather(np.asarray([my_n], np.int64))[:, 0]
     offs = np.concatenate([[0], np.cumsum(sizes)[:-1]])
@@ -430,8 +473,9 @@ def decompress_rl_file(input_path: str, output_path: str,
         raise IOError("[FileIO] corrupt RL container: counts sum to "
                       f"{total}, header claims {n}")
     if _shared_fs():
-        _direct_write_pieces(output_path, n, None,
-                             [(int(offs[pid]), out)])
+        with stage("Write own byte range (shared fs)", out.size):
+            _direct_write_pieces(output_path, n, None,
+                                 [(int(offs[pid]), out)])
         return
     fd = None
     if pid == 0:
@@ -439,10 +483,12 @@ def decompress_rl_file(input_path: str, output_path: str,
                      0o644)
         os.ftruncate(fd, n)
     try:
-        _stream_to_host0(
-            out, sizes,
-            lambda p, pos, piece: _pwrite(fd, int(offs[p]) + pos, piece),
-            chunk)
+        with stage("Stream decoded data to node 0", out.size):
+            _stream_to_host0(
+                out, sizes,
+                lambda p, pos, piece: _pwrite(fd, int(offs[p]) + pos,
+                                              piece),
+                chunk)
     finally:
         if fd is not None:
             os.close(fd)

@@ -94,6 +94,45 @@ def timed(name: str, nbytes: int = 0, enabled: bool = True, rank: int = -1,
         t.print_result()
 
 
+# ---------------------------------------------------------------------------
+# Stage timers: per-stage [TIMER] lines INSIDE the codec drivers (the
+# reference wraps every internal stage — alloc, H2D, each kernel, D2H —
+# in timer prints, ``fl_gpu.cu:317-415``/``:573-637``, and rank-tags the
+# multihost loader/driver lines, ``file_io.cu:64``).  Module-level switch
+# so the hot paths pay one bool check when observability is off.
+# ---------------------------------------------------------------------------
+
+_STAGE = {"enabled": False, "rank": -1}
+
+
+def set_stage_timers(enabled: bool, rank: int = -1) -> None:
+    """Enable per-stage ``[TIMER]`` lines inside the codec drivers
+    (``fl_jax.encode/decode``, ``rl_jax``, ``parallel/multihost``).
+    ``rank``: process index for the reference-style ``[Rank N]`` prefix
+    (multihost drivers)."""
+    _STAGE["enabled"] = bool(enabled)
+    _STAGE["rank"] = int(rank)
+
+
+def stage_timers_enabled() -> bool:
+    return _STAGE["enabled"]
+
+
+@contextlib.contextmanager
+def stage(name: str, nbytes: int = 0, result=None):
+    """Codec-internal stage timer: a no-op (no fence, no print) unless
+    :func:`set_stage_timers` enabled it.  When enabled, blocks on any
+    device values appended to the mutable ``result`` list before stopping
+    the clock (whole-phase timing — the XLA analog of the reference's
+    CUDA-event ``GpuTimer``)."""
+    if not _STAGE["enabled"]:
+        yield None
+        return
+    with timed(name, nbytes=nbytes, rank=_STAGE["rank"], enabled=True,
+               result=result) as t:
+        yield t
+
+
 @contextlib.contextmanager
 def profiler_trace(logdir: str | None):
     """Optional `jax.profiler` trace around a phase (kernel-level view in

@@ -68,6 +68,46 @@ def test_timers_output(blob, tmp_path, capsys):
     assert "B/s" in out  # throughput report
 
 
+def test_timers_stage_lines(blob, tmp_path, capsys):
+    """--timers prints PER-STAGE lines inside the codec drivers (kernel,
+    D2H, host fold), mirroring the reference's per-phase timers
+    (fl_gpu.cu:317-415, :573-637) — not just the CLI-level phases."""
+    src, _ = blob
+    comp = str(tmp_path / "o.fl")
+    assert main(["c", "fl", src, comp, "--timers"]) == 0
+    out = capsys.readouterr().out
+    assert "[TIMER] Compression:" in out
+    assert "[TIMER] Copy results to CPU:" in out
+    assert main(["d", "fl", comp, str(tmp_path / "o.bin"),
+                 "--timers"]) == 0
+    out = capsys.readouterr().out
+    assert "[TIMER] Decompression:" in out
+    assert "[TIMER] Copy results to CPU:" in out
+    # the switch must not leak into non---timers runs
+    assert main(["c", "fl", src, comp]) == 0
+    assert "[TIMER]" not in capsys.readouterr().out
+
+
+def test_multihost_rank_tagged_stage_lines(blob, tmp_path, capsys):
+    """The multihost driver prints rank-tagged per-stage [TIMER] lines
+    (the reference's rank-tagged timer never printed — cpu_timer.cu:19-27
+    dangling-else; file_io.cu:64 loader line)."""
+    from fl_rl_compression_mpi_tpu.parallel import multihost
+    from fl_rl_compression_mpi_tpu.utils.timers import set_stage_timers
+    src, data = blob
+    comp = str(tmp_path / "mh.fl")
+    set_stage_timers(True, rank=0)
+    try:
+        multihost.compress_fl_file(src, comp)
+    finally:
+        set_stage_timers(False)
+    out = capsys.readouterr().out
+    assert "[Rank 0] [TIMER] Load data from file:" in out
+    assert "[Rank 0] Loaded" in out
+    assert "[Rank 0] [TIMER] Compression:" in out
+    assert "[Rank 0] [TIMER] Save data to file:" in out
+
+
 def test_custom_frame_length_roundtrip(blob, tmp_path):
     src, data = blob
     comp = str(tmp_path / "o.fl")
