@@ -96,6 +96,23 @@ def plan_shards(total: int, num_shards: int,
     ns = np.full(num_shards, chunk, np.int64)
     ns[-1] = total - chunk * (num_shards - 1)
     npad = fl_jax.pad_to_frames(int(ns.max()), frame_length, bucket_frames)
+    if frame_length == 128:
+        # Align the padded shard buffer to EVERY dense kernel block
+        # (general encode/decode tiles + the uniform kernels' tile), so
+        # the dense sharded paths are taken for any (device count ×
+        # size × bucket) combination — without this, an off-size bucket
+        # silently fell back to the host-unfold fields path
+        # (rows_shard % R != 0) or to the general window decoder
+        # (rows_shard % Ru != 0): data-independent perf cliffs.
+        # Padding is junk-only (true sizes travel in ``ns``), so output
+        # bytes are unchanged.
+        import math
+
+        from ..ops import fl_dense_pallas as fdp
+        rows_align = math.lcm(fdp.DENSE_TILE_R, fdp.DENSE_DEC_TILE_R,
+                              fdp.DENSE_UNIFORM_TILE_R)
+        align = rows_align * 512
+        npad = -(-npad // align) * align
     return ShardPlan(num_shards, npad, ns, total)
 
 
