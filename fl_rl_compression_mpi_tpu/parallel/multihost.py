@@ -96,19 +96,32 @@ def _direct_write_pieces(path: str, total_size: int, header: bytes | None,
         fd = os.open(path, os.O_WRONLY | os.O_CREAT | os.O_TRUNC, 0o644)
         try:
             os.ftruncate(fd, total_size)
+            # pre-allocate extents ONCE: concurrent pwrites into a fresh
+            # sparse file serialize on block allocation (measured 42-186
+            # MB/s per rank vs 631 single); with extents reserved the
+            # ranks' disjoint writes are allocation-free
+            if total_size:
+                try:
+                    os.posix_fallocate(fd, 0, total_size)
+                except OSError:
+                    pass            # fs without fallocate: sparse is fine
             if header is not None:
                 os.pwrite(fd, header, 0)
         finally:
             os.close(fd)
-    _barrier()                      # file exists before anyone writes
+    with stage("Write: publish barrier"):
+        _barrier()                  # file exists before anyone writes
     fd = os.open(path, os.O_WRONLY)
     try:
-        for off, data in pieces:
-            if len(data):
-                _pwrite(fd, int(off), np.asarray(data, np.uint8))
+        with stage("Write: pwrite own ranges",
+                   sum(len(d) for _, d in pieces)):
+            for off, data in pieces:
+                if len(data):
+                    _pwrite(fd, int(off), np.asarray(data, np.uint8))
     finally:
         os.close(fd)
-    _barrier()                      # writes complete before any read-back
+    with stage("Write: completion barrier"):
+        _barrier()                  # writes complete before any read-back
 
 
 def init_distributed(coordinator_address: str | None = None,
@@ -371,10 +384,13 @@ def decompress_fl_file(input_path: str, output_path: str,
     nproc = jax.process_count()
     pid = jax.process_index()
     if nproc == 1:
-        comp = container.load_fl(input_path)
-        out = dist.decompress_fl(comp, dist.make_local_mesh(), frame_length,
-                                 bucket_frames)
-        fileio.save_file(output_path, out)
+        with stage("Load data from file"):
+            comp = container.load_fl(input_path)
+        with stage("Decompression", int(comp.input_size)):
+            out = dist.decompress_fl(comp, dist.make_local_mesh(),
+                                     frame_length, bucket_frames)
+        with stage("Save data to file", out.size):
+            fileio.save_file(output_path, out)
         return
 
     with open(input_path, "rb") as f:
@@ -444,9 +460,12 @@ def decompress_rl_file(input_path: str, output_path: str,
     nproc = jax.process_count()
     pid = jax.process_index()
     if nproc == 1:
-        comp = container.load_rl(input_path)
-        out = dist.decompress_rl(comp, dist.make_local_mesh(), bucket)
-        fileio.save_file(output_path, out)
+        with stage("Load data from file"):
+            comp = container.load_rl(input_path)
+        with stage("Decompression", int(comp.input_size)):
+            out = dist.decompress_rl(comp, dist.make_local_mesh(), bucket)
+        with stage("Save data to file", out.size):
+            fileio.save_file(output_path, out)
         return
 
     with open(input_path, "rb") as f:
