@@ -226,32 +226,43 @@ def _sim_expand_flat(dist: np.ndarray, live: np.ndarray):
     return rounds
 
 
-def _mask_words(per_b_rounds: dict, size: int):
-    """Bit-pack the simulated take masks: bit ``t`` of each word is
-    round-slot ``t``'s mask (Pallas kernels cannot capture vector
-    constants — FINDINGS.md — so the masks travel as ONE tiny i32 input,
-    fetched once thanks to the constant block index, and each round
-    unpacks its bit with a shift+and).  Returns (words i32[size],
-    {b: [(m, slot), …]})."""
-    words = np.zeros(size, np.int64)
+def _mask_words(per_b_rounds: dict, size: int, max_words: int = 1):
+    """Bit-pack the simulated take masks: bit ``t`` of word ``t // 31``
+    is round-slot ``t``'s mask (Pallas kernels cannot capture vector
+    constants — FINDINGS.md — so the masks travel as one tiny i32 input
+    per word, fetched once thanks to the constant block index, and each
+    round unpacks its bit with a shift+and).  Returns (words
+    i32[size, W], {b: [(m, word, slot), …]}) or (None, None) when the
+    round count exceeds ``max_words``·31 (R=1024 row masks fit one word
+    — 29 rounds; R=2048 needs two: 32)."""
+    need = sum(sum(1 for _, t in rs if t.any())
+               for rs in per_b_rounds.values())
+    W = max(1, -(-need // 31))
+    if W > max_words:
+        return None, None
+    words = np.zeros((size, W), np.int64)
     slots = {}
     s = 0
     for b, rounds in per_b_rounds.items():
         lst = []
         for m, take in rounds:
             if take.any():
-                words |= take.astype(np.int64) << s
-                lst.append((m, s))
+                w, bit = divmod(s, 31)
+                words[:, w] |= take.astype(np.int64) << bit
+                lst.append((m, w, bit))
                 s += 1
         slots[b] = lst
-    if s > 31:                 # cannot bit-pack: caller disables fast path
-        return None, None
     return words.astype(np.int32), slots
+
+
+# Row-mask word budget: 2 words cover R = 2048 (the single-width
+# kernels' 31-bit slot cap was the R=1024 bound — VERDICT r3 item 4).
+_ROW_MASK_WORDS = 2
 
 
 def _uniform_place_masks(R: int):
     """Mask words + slot tables for the encode placement of every fast
-    width: (lane_words (1,128) i32, row_words (R,1) i32, slots)."""
+    width: (lane_words (1,128) i32, row_words (R,W) i32, slots)."""
     lanes_ = np.arange(LANES)
     rows = np.arange(R)
     lane_rounds, row_rounds = {}, {}
@@ -264,12 +275,12 @@ def _uniform_place_masks(R: int):
         row_rounds[b] = _sim_compact(
             np.where(rlive, rows - rows // S, 0), rlive)
     lw, lslots = _mask_words(lane_rounds, LANES)
-    rw, rslots = _mask_words(row_rounds, R)
+    rw, rslots = _mask_words(row_rounds, R, _ROW_MASK_WORDS)
     if lslots is None or rslots is None or R % 8 != 0:
         # slot overflow (huge R override) or odd tile: general path only
         return (np.zeros((1, LANES), np.int32), np.zeros((R, 1), np.int32),
                 None)
-    return (lw.reshape(1, LANES), rw.reshape(R, 1),
+    return (lw.reshape(1, LANES), rw,
             {b: (lslots[b], rslots[b]) for b in FAST_BS})
 
 
@@ -288,12 +299,12 @@ def _uniform_unplace_masks(R: int):
         row_rounds[b] = _sim_expand(
             np.where(rlive, rows * S - rows, 0), rlive)
     lw, lslots = _mask_words(lane_rounds, LANES)
-    rw, rslots = _mask_words(row_rounds, R)
+    rw, rslots = _mask_words(row_rounds, R, _ROW_MASK_WORDS)
     if lslots is None or rslots is None or R % 8 != 0:
         # slot overflow (huge R override) or odd tile: general path only
         return (np.zeros((1, LANES), np.int32), np.zeros((R, 1), np.int32),
                 None)
-    return (lw.reshape(1, LANES), rw.reshape(R, 1),
+    return (lw.reshape(1, LANES), rw,
             {b: (lslots[b], rslots[b]) for b in FAST_BS})
 
 
@@ -418,7 +429,7 @@ def _uniform_place(y: jax.Array, b: int, R: int, lm: jax.Array,
     S = 8 // b
     lane_i = _iota(y.shape, 1)
     lslots, rslots = slots[b]
-    for m, s in lslots:                              # A: lane-local
+    for m, _, s in lslots:                           # A: lane-local
         sh = pltpu.roll(y, LANES - m, 1)
         y = jnp.where(((lm >> s) & 1) != 0, sh, y)
     seg = 16 * b
@@ -426,9 +437,9 @@ def _uniform_place(y: jax.Array, b: int, R: int, lm: jax.Array,
         w = seg << t
         sh = pltpu.roll(pltpu.roll(y, R - (1 << t), 0), w, 1)
         y = jnp.where((lane_i >= w) & (lane_i < 2 * w), sh, y)
-    for m, s in rslots:                              # C: stride rows
+    for m, w, s in rslots:                           # C: stride rows
         sh = pltpu.roll(y, R - m, 0)
-        y = jnp.where(((rm >> s) & 1) != 0, sh, y)
+        y = jnp.where(((rm[:, w:w + 1] >> s) & 1) != 0, sh, y)
     return y
 
 
@@ -440,9 +451,9 @@ def _uniform_unplace(y: jax.Array, b: int, R: int, lm: jax.Array,
     row_i = _iota(y.shape, 0)
     lane_i = _iota(y.shape, 1)
     lslots, rslots = slots[b]
-    for m, s in rslots:                              # C': stride rows
+    for m, w, s in rslots:                           # C': stride rows
         sh = pltpu.roll(y, m, 0)
-        y = jnp.where(((rm >> s) & 1) != 0, sh, y)
+        y = jnp.where(((rm[:, w:w + 1] >> s) & 1) != 0, sh, y)
     seg = 16 * b
     S = 8 // b
     for t in reversed(range(S.bit_length() - 1)):    # B': un-merge
@@ -450,7 +461,7 @@ def _uniform_unplace(y: jax.Array, b: int, R: int, lm: jax.Array,
         sh = pltpu.roll(pltpu.roll(y, 1 << t, 0), LANES - w, 1)
         y = jnp.where((lane_i < w)
                       & (row_i % (2 << t) == (1 << t)), sh, y)
-    for m, s in lslots:                              # A': lane expand
+    for m, _, s in lslots:                           # A': lane expand
         sh = pltpu.roll(y, m, 1)
         y = jnp.where(((lm >> s) & 1) != 0, sh, y)
     return y
@@ -719,7 +730,7 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i: (0, 0),
+            pl.BlockSpec((R, rw.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1006,7 +1017,7 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
             pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i: (0, 0),
+            pl.BlockSpec((R, rw.shape[1]), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -1062,10 +1073,42 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
 # ---------------------------------------------------------------------------
 
 
-def _uniform_enc_kernel(fb: int, R: int, slots):
+@functools.lru_cache(maxsize=None)
+def _odd_single_masks(R: int, fb: int, inverse: bool = False):
+    """Flat take-mask plane(s) for ONE odd width (the stripped
+    single-width kernels need only their own width's rounds — ≤ ~17 at
+    R=1024, so one 31-bit plane suffices where the 4-width per-tile
+    planes need three).  Returns (planes i32[(P·R),128], slots) or
+    (zeros, None) when unprovable/over budget."""
+    n = R * LANES
+    fidx = np.arange(n)
+    try:
+        if not inverse:
+            live = (fidx % 8) < fb
+            rank = np.cumsum(live) - live
+            rounds = _sim_compact_flat(np.where(live, fidx - rank, 0),
+                                       live)
+        else:
+            live = fidx < 16 * fb * R
+            g = fidx // fb
+            dest = 128 * (g // 16) + 8 * (g % 16) + fidx % fb
+            rounds = _sim_expand_flat(np.where(live, dest - fidx, 0),
+                                      live)
+    except AssertionError:
+        return np.zeros((R, LANES), np.int32), None
+    words, slots = _mask_planes({fb: rounds}, n)
+    if words is None:
+        return np.zeros((R, LANES), np.int32), None
+    return words.reshape(-1, LANES), slots
+
+
+UNIFORM_BS = (1, 2, 3, 4, 5, 6, 7, 8)
+
+
+def _uniform_enc_kernel(fb: int, R: int, slots, oslots):
     Kr = fb * R // 8
 
-    def kernel(nf_ref, w_ref, lm_ref, rm_ref, bits_ref, out_ref,
+    def kernel(nf_ref, w_ref, lm_ref, rm_ref, fp_ref, bits_ref, out_ref,
                flag_ref):
         i = pl.program_id(0)
 
@@ -1097,8 +1140,14 @@ def _uniform_enc_kernel(fb: int, R: int, slots):
                   | (((w >> 8) & jnp.uint32(0xFF)) << fb)
                   | (((w >> 16) & jnp.uint32(0xFF)) << (2 * fb))
                   | ((w >> 24) << (3 * fb)))
-            pay = _uniform_place(_pack_groups_b(sp, fb), fb, R,
-                                 lm_ref[...], rm_ref[...], slots)
+            pk = _pack_groups_b(sp, fb)
+            if fb in FAST_BS:
+                pay = _uniform_place(pk, fb, R, lm_ref[...], rm_ref[...],
+                                     slots)
+            else:
+                # odd width: static flat mask plane(s), one width's
+                # rounds only (round-4 stripped odd kernels)
+                pay = _flat_place(pk, fb, fp_ref[...], oslots)
         out_ref[...] = pay[:Kr]
     return kernel
 
@@ -1107,22 +1156,28 @@ def _uniform_enc_kernel(fb: int, R: int, slots):
 def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
                                    fb: int, tile_r: int | None = None):
     """Speculative single-width dense encode: assumes EVERY real frame
-    has width ``fb`` ∈ {1,2,4,8}.  Returns ``(bits2d, dense, flag)`` —
-    ``flag`` nonzero means the assumption failed and ``dense`` is junk
-    (callers re-run :func:`fl_encode_dense_pallas`); ``bits2d`` is
-    always the true widths."""
+    has width ``fb`` ∈ 1..8 (odd widths use single-width flat mask
+    planes — round 4).  Returns ``(bits2d, dense, flag)`` — ``flag``
+    nonzero means the assumption failed and ``dense`` is junk (callers
+    re-run :func:`fl_encode_dense_pallas`); ``bits2d`` is always the
+    true widths."""
     R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
-    assert fb in FAST_BS and R % 8 == 0
+    assert fb in UNIFORM_BS and R % 8 == 0
     nw = words.shape[0]
     assert nw % (R * LANES) == 0
     grid = nw // (R * LANES)
     Kr = fb * R // 8
     lw, rw, slots = _uniform_place_masks(R)
-    assert slots is not None
+    if fb in FAST_BS:
+        assert slots is not None
+        fpw, oslots = np.zeros((8, LANES), np.int32), None
+    else:
+        fpw, oslots = _odd_single_masks(R, fb)
+        assert oslots is not None
     rows = nw // LANES
 
     bits2d, dense, flag = pl.pallas_call(
-        _uniform_enc_kernel(fb, R, slots),
+        _uniform_enc_kernel(fb, R, slots, oslots),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1130,7 +1185,9 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i: (0, 0),
+            pl.BlockSpec((R, rw.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -1150,12 +1207,13 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
             dimension_semantics=("arbitrary",)),
         interpret=_interpret(),
     )(jnp.asarray(n_frames, jnp.int32).reshape(1),
-      words.reshape(rows, LANES), jnp.asarray(lw), jnp.asarray(rw))
+      words.reshape(rows, LANES), jnp.asarray(lw), jnp.asarray(rw),
+      jnp.asarray(fpw))
     return bits2d, dense, flag[0]
 
 
-def _uniform_dec_kernel(fb: int, R: int, slots):
-    def kernel(d_ref, lm_ref, rm_ref, out_ref):
+def _uniform_dec_kernel(fb: int, R: int, slots, oslots):
+    def kernel(d_ref, lm_ref, rm_ref, fp_ref, out_ref):
         mask = jnp.uint32((1 << fb) - 1 if fb < 8 else 0xFFFFFFFF)
         if fb == 8:
             f = d_ref[...].astype(jnp.uint32)
@@ -1164,9 +1222,12 @@ def _uniform_dec_kernel(fb: int, R: int, slots):
                 [d_ref[...].astype(jnp.uint32),
                  jnp.zeros((R - fb * R // 8, LANES), jnp.uint32)],
                 axis=0)
-            f = _unpack_groups_b(
-                _uniform_unplace(y, fb, R, lm_ref[...], rm_ref[...],
-                                 slots), fb)
+            if fb in FAST_BS:
+                y = _uniform_unplace(y, fb, R, lm_ref[...], rm_ref[...],
+                                     slots)
+            else:
+                y = _flat_unplace(y, fb, fp_ref[...], oslots)
+            f = _unpack_groups_b(y, fb)
         s1 = f >> fb
         s2 = s1 >> fb
         s3 = s2 >> fb
@@ -1182,29 +1243,37 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
     """Single-width dense decode: the stream is consumed in exact
     static blocks (tile i reads rows [i·Kr, (i+1)·Kr)) — a pure
     BlockSpec pipeline, no window DMA, no offset scan.  Valid only when
-    every frame's width is ``fb`` (callers check the widths header).
-    ``dense2d`` rows must cover ``rows_out·fb/8`` and be a multiple of
-    ``Kr`` (the encoders' padded buffers are, by construction)."""
+    every frame's width is ``fb`` ∈ 1..8 (callers check the widths
+    header).  ``dense2d`` rows must cover ``rows_out·fb/8`` and be a
+    multiple of ``Kr`` (the encoders' padded buffers are, by
+    construction)."""
     R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
-    assert fb in FAST_BS and R % 8 == 0
+    assert fb in UNIFORM_BS and R % 8 == 0
     assert rows_out % R == 0
     grid = rows_out // R
     Kr = fb * R // 8
     lw, rw, slots = _uniform_unplace_masks(R)
-    assert slots is not None
+    if fb in FAST_BS:
+        assert slots is not None
+        fpw, oslots = np.zeros((8, LANES), np.int32), None
+    else:
+        fpw, oslots = _odd_single_masks(R, fb, inverse=True)
+        assert oslots is not None
     need = grid * Kr
     assert dense2d.shape[0] >= need, (dense2d.shape, need)
     src = dense2d[:need] if dense2d.shape[0] % Kr else dense2d
 
     return pl.pallas_call(
-        _uniform_dec_kernel(fb, R, slots),
+        _uniform_dec_kernel(fb, R, slots, oslots),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec((Kr, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 1), lambda i: (0, 0),
+            pl.BlockSpec((R, rw.shape[1]), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
@@ -1213,26 +1282,36 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel",)),
         interpret=_interpret(),
-    )(src, jnp.asarray(lw), jnp.asarray(rw))
+    )(src, jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(fpw))
+
+
+def uniform_kernel_available(fb: int, R: int, inverse: bool = False
+                             ) -> bool:
+    """True when a stripped single-width kernel exists for (fb, R)."""
+    if fb not in UNIFORM_BS or R % 8 != 0:
+        return False
+    if fb in FAST_BS:
+        masks = (_uniform_unplace_masks(R) if inverse
+                 else _uniform_place_masks(R))
+        return masks[2] is not None
+    return _odd_single_masks(R, fb, inverse)[1] is not None
 
 
 def host_probe_uniform_b(data: np.ndarray,
                          tile_r: int | None = None) -> int | None:
     """Host-side width probe for the speculative uniform dispatch: the
     data is already in host memory, so checking the FIRST tile costs a
-    ~128 KB NumPy pass.  Returns fb ∈ {1,2,4,8} when that tile is
-    uniform at fb and the static masks exist for this tile size, else
-    None (callers use the general kernel).  The device kernel still
-    verifies EVERY real frame (its flag is authoritative — a later
-    mixed tile makes the caller re-run the general kernel)."""
+    ~128 KB NumPy pass.  Returns fb ∈ 1..8 when that tile is uniform at
+    fb and the static masks exist for this tile size, else None (callers
+    use the general kernel).  The device kernel still verifies EVERY
+    real frame (its flag is authoritative — a later mixed tile makes the
+    caller re-run the general kernel)."""
     R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
     if R % 8 != 0 or data.size < R * 512:
-        return None
-    if _uniform_place_masks(R)[2] is None:
         return None
     fmax = np.asarray(data[: R * 512], np.uint8).reshape(-1, 128).max(1)
     b = np.maximum(np.frexp(fmax.astype(np.float64))[1], 1)
     fb = int(b[0])
-    if fb in FAST_BS and bool((b == fb).all()):
+    if bool((b == fb).all()) and uniform_kernel_available(fb, R):
         return fb
     return None

@@ -406,10 +406,10 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         # single-width block-walk decoder (no window DMA, no offsets)
         ba = bits[:frames]
         fbu = (int(ba[0]) if ba.size and (ba == ba[0]).all() else 0)
-        from .fl_dense_pallas import _uniform_unplace_masks
         Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
-        if (fbu in (1, 2, 4, 8) and Ru % 8 == 0 and rows % Ru == 0
-                and _uniform_unplace_masks(Ru)[2] is not None):
+        if (rows % Ru == 0
+                and fl_dense_pallas.uniform_kernel_available(
+                    fbu, Ru, inverse=True)):
             Kr = fbu * Ru // 8
             need = (rows // Ru) * Kr
             dbuf = np.zeros(need * 512, np.uint8)

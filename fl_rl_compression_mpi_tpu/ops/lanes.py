@@ -302,6 +302,50 @@ def expand_msb(w: jax.Array, nbits: int) -> jax.Array:
     return w
 
 
+def pack_route_wide(live: jax.Array, dist: jax.Array) -> jax.Array:
+    """WIDE routing word: ``live<<31 | dist`` with dist in bits 0..30 —
+    no payload field.  In the two-array networks the payload rides in
+    the second array, so dist can use the whole word, lifting the
+    routing-tile cap from 2^15 elements to 2^31.  NOTE the round-4
+    refutation (FINDINGS.md exp48): BIG tiles measured 3-10x SLOWER on
+    chip for the dense FL general kernel — the wide layout is kept for
+    kernels whose structure it simplifies (single-sub RL tiles), not as
+    a license to grow tiles."""
+    return jnp.where(live, jnp.int32(LIVE) | dist, jnp.int32(0))
+
+
+def compact_lsb2_wide(ctrl: jax.Array, pay: jax.Array, nbits: int):
+    """Two-array compaction with the WIDE ctrl layout (dist at bit 0,
+    ≤ 30 bits); see :func:`compact_lsb2`."""
+    assert nbits <= 30, nbits
+    for k in range(nbits):
+        m = 1 << k
+        shc = flat_shift_down(ctrl, m, 0)
+        shp = flat_shift_down(pay, m, 0)
+        take_in = (shc < 0) & ((shc & m) != 0)
+        take_self = (ctrl < 0) & ((ctrl & m) != 0)
+        ctrl = jnp.where(take_in, shc - m,
+                         jnp.where(take_self, jnp.int32(0), ctrl))
+        pay = jnp.where(take_in, shp, pay)
+    return ctrl, pay
+
+
+def expand_msb2_wide(ctrl: jax.Array, pay: jax.Array, nbits: int):
+    """Two-array expansion with the WIDE ctrl layout (dist at bit 0,
+    ≤ 30 bits); see :func:`expand_msb2`."""
+    assert nbits <= 30, nbits
+    for k in reversed(range(nbits)):
+        m = 1 << k
+        shc = flat_shift_up(ctrl, m, 0)
+        shp = flat_shift_up(pay, m, 0)
+        take_in = (shc < 0) & ((shc & m) != 0)
+        take_self = (ctrl < 0) & ((ctrl & m) != 0)
+        ctrl = jnp.where(take_in, shc - m,
+                         jnp.where(take_self, jnp.int32(0), ctrl))
+        pay = jnp.where(take_in, shp, pay)
+    return ctrl, pay
+
+
 def compact_lsb2(ctrl: jax.Array, pay: jax.Array, nbits: int):
     """Two-array compaction: ``ctrl`` (i32) carries live|dist as in
     :func:`compact_lsb`; ``pay`` (any 32-bit dtype) rides along.  Dead

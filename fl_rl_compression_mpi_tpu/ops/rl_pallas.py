@@ -176,9 +176,20 @@ def _encode_kernel(R: int, sub: int, grid: int):
                 keep_h = keep[lo:lo + sub]
                 psum_h = psum[lo:lo + sub]
                 dist_h = sub_idx - (psum_h - kprev - 1)
-                w = lanes.pack_route(keep_h, dist_h,
-                                     payload16[lo:lo + sub])
-                wc = lanes.compact_lsb(w, nbits) & jnp.int32(0xFFFF)
+                if sub * LANES <= (1 << 15):
+                    w = lanes.pack_route(keep_h, dist_h,
+                                         payload16[lo:lo + sub])
+                    wc = lanes.compact_lsb(w, nbits) & jnp.int32(0xFFFF)
+                else:
+                    # WIDE two-array compaction (round 4): dist rides the
+                    # ctrl word's bits 0..30, the piece payload a second
+                    # array — no 2^15 cap, so one R=1024 sub-tile
+                    # replaces 4 sub-tiles + their dynamic merge shifts
+                    ctrl = lanes.pack_route_wide(keep_h, dist_h)
+                    ctrl, payc = lanes.compact_lsb2_wide(
+                        ctrl, payload16[lo:lo + sub], nbits)
+                    wc = jnp.where(ctrl < 0, payc & jnp.int32(0xFFFF),
+                                   jnp.int32(0))
                 part = jnp.concatenate(
                     [wc, jnp.zeros((R + 8 - sub, LANES), jnp.int32)],
                     axis=0)
@@ -274,7 +285,9 @@ def rl_encode_pallas(x2d: jax.Array, n: jax.Array,
     R = TILE_ROWS if tile_rows is None else tile_rows
     sub = min(R, SUB_ROWS if sub_rows is None else sub_rows)
     assert R % sub == 0
-    assert sub * LANES <= 1 << 15, "sub-tile exceeds the 15-bit dist field"
+    # sub-tiles past 2^15 elements take the WIDE two-array network (the
+    # 15-bit dist cap applies only to the packed one-array layout)
+    assert sub * LANES <= 1 << 30
     rows = x2d.shape[0]
     assert x2d.shape[1] == LANES and rows % R == 0
     grid = rows // R
@@ -486,10 +499,25 @@ def _decode_kernel(R: int, sub: int, win: int, grid: int):
                     vlh = to_view(lanes.flat_shift_down_dyn(vl, mh, 0), 0)
                 t = sth - bh
                 live = (t >= 0) & (t < sub * LANES)
-                w = lanes.pack_route(live, t + HEAD - q, vlh)
-                wpad = jnp.concatenate(
-                    [w, jnp.zeros((8, LANES), jnp.int32)], axis=0)
-                we = lanes.expand_msb(wpad, nbits)
+                if sub * LANES + HEAD <= (1 << 15):
+                    w = lanes.pack_route(live, t + HEAD - q, vlh)
+                    wpad = jnp.concatenate(
+                        [w, jnp.zeros((8, LANES), jnp.int32)], axis=0)
+                    we = lanes.expand_msb(wpad, nbits)
+                else:
+                    # WIDE two-array expansion (round 4): lifts the
+                    # 2^15-slot cap so one big sub-tile replaces the
+                    # per-half dynamic window shifts
+                    zpad = jnp.zeros((8, LANES), jnp.int32)
+                    ctrl = jnp.concatenate(
+                        [lanes.pack_route_wide(live, t + HEAD - q),
+                         zpad], axis=0)
+                    vpad = jnp.concatenate([vlh, zpad], axis=0)
+                    ctrl, vle = lanes.expand_msb2_wide(ctrl, vpad, nbits)
+                    we = jnp.where(ctrl < 0,
+                                   jnp.int32(lanes.LIVE)
+                                   | (vle & jnp.int32(0xFF)),
+                                   jnp.int32(0))
 
                 # hole fill: later run starts win (index-dominant
                 # packing); headroom slot HEAD-1 seeds the straddling
@@ -531,8 +559,8 @@ def _decode_impl(cv_of_cap, rcap: int, num_runs, rows_out: int,
     win = R + 8 if win_rows is None else min(win_rows, R + 8)
     assert R % sub == 0
     assert win % 8 == 0 and 16 <= win <= R + 8
-    assert sub * LANES + 8 * LANES <= 1 << 15, \
-        "decode sub-tile + headroom exceeds the 15-bit dist field"
+    # big sub-tiles take the WIDE two-array network (see _decode_kernel)
+    assert sub * LANES + 8 * LANES <= 1 << 30
     assert rows_out % R == 0
     grid = rows_out // R
     num_runs = jnp.asarray(num_runs, jnp.int32)

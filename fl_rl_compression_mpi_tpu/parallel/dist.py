@@ -609,10 +609,9 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         ba = comp.bits[:frames_all]
         fbu = int(ba[0]) if ba.size and (ba == ba[0]).all() else 0
         Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
-        if (fbu in (1, 2, 4, 8) and frame_length == 128
-                and rows_shard % Ru == 0
-                and fl_dense_pallas._uniform_unplace_masks(Ru)[2]
-                is not None):
+        if (frame_length == 128 and rows_shard % Ru == 0
+                and fl_dense_pallas.uniform_kernel_available(
+                    fbu, Ru, inverse=True)):
             Kr = fbu * Ru // 8
             need = rows_shard // Ru * Kr
             dense3d = np.zeros((n_dev, need, 128), np.uint32)

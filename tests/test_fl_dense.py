@@ -220,16 +220,22 @@ def test_device_roundtrip_with_encoder_woffs():
 
 
 def test_uniform_masks_disable_gracefully():
-    """Oversized tile overrides (mask-slot budget > 31) and non-multiple-
-    of-8 tiles must disable the static fast path, not crash at trace."""
+    """Non-multiple-of-8 tiles must disable the static fast path, not
+    crash at trace; the two-word row masks (round 4) now cover R=2048+
+    — R=2048 needs 32 row slots, one more than a single i32 holds."""
     from fl_rl_compression_mpi_tpu.ops.fl_dense_pallas import (
         _odd_place_masks, _odd_unplace_masks, _uniform_place_masks,
         _uniform_unplace_masks)
-    for R in (4096, 12):
-        for fn in (_uniform_place_masks, _uniform_unplace_masks):
-            lw, rw, slots = fn(R)
-            assert slots is None
-            assert rw.shape == (R, 1)
+    for fn in (_uniform_place_masks, _uniform_unplace_masks):
+        lw, rw, slots = fn(12)
+        assert slots is None
+        assert rw.shape == (12, 1)
+        lw, rw, slots = fn(2048)
+        assert slots is not None
+        assert rw.shape == (2048, 2)          # two-word row masks
+        lw, rw, slots = fn(1024)
+        assert slots is not None
+        assert rw.shape == (1024, 1)          # still one word at 1024
     for fn in (_odd_place_masks, _odd_unplace_masks):
         fpw, slots = fn(4096)    # plane VMEM bound
         assert slots is None and fpw.shape == (4096, 128)
@@ -349,9 +355,10 @@ def test_host_probe_uniform_b():
     w4 = g.integers(0, 16, tile).astype(np.uint8)
     w4[::129] = 15
     assert fl_dense_pallas.host_probe_uniform_b(w4, R) == 4
-    # odd widths and mixed first tiles are rejected
+    # odd widths are accepted since round 4 (stripped single-width
+    # kernels with flat mask planes); mixed first tiles stay rejected
     assert fl_dense_pallas.host_probe_uniform_b(
-        (g.integers(0, 4, tile) + 4).astype(np.uint8), R) is None
+        (g.integers(0, 4, tile) + 4).astype(np.uint8), R) == 3
     assert fl_dense_pallas.host_probe_uniform_b(
         g.integers(0, 256, tile).astype(np.uint8).reshape(-1), R) in (
             None, 8)
@@ -470,3 +477,113 @@ def test_ici_gather_moves_compressed_prefix_only(monkeypatch):
         np.testing.assert_array_equal(bi, bg)
         np.testing.assert_array_equal(
             dense_h[i, : -(-vsz // 4)].view(np.uint8)[:vsz], vg)
+
+
+@pytest.mark.timeout(600)
+def test_midsize_general_tiles_roundtrip():
+    """General dense kernels at a mid tile size (R=64): per-frame-random
+    (high-deficit) and mostly-w8 (low-deficit) streams, both bit-exact
+    vs the NumPy golden, encode and decode.  (Round 4 A/B'd wide/bigger
+    general tiles on chip and REFUTED them — exp48 — so R stays ≤ 256;
+    this pins the mid-size configs that remain legal.)"""
+    import jax
+
+    g = np.random.default_rng(31)
+    R64 = 64
+    tile_bytes = R64 * 512
+    for kind in ("mixed", "low-deficit"):
+        n = tile_bytes * 3 + 517
+        data = g.integers(0, 256, -(-n // tile_bytes) * tile_bytes
+                          ).astype(np.uint8)
+        nfr = -(-n // 128)
+        if kind == "mixed":
+            wf = g.integers(1, 9, nfr)
+        else:
+            wf = np.full(nfr, 8)
+            wf[g.integers(0, nfr, nfr // 50)] = 7   # sparse w7 frames
+        for f in range(nfr):
+            lo, hi = f * 128, min((f + 1) * 128, n)
+            data[lo:hi] &= np.uint8((1 << wf[f]) - 1)
+            data[lo] = np.uint8(1 << (wf[f] - 1))
+        data[n:] = 0
+        bg, vg = fl_numpy.encode(data[:n])
+        words = jnp.asarray(data.view(np.uint32))
+        frames = jnp.int32(nfr)
+        b2, dense, total, woffs = fl_dense_pallas.fl_encode_dense_pallas(
+            words, frames, tile_r=R64)
+        bits = np.asarray(jax.device_get(b2)).reshape(-1)[:nfr]
+        np.testing.assert_array_equal(bits, bg)
+        vbytes = np.asarray(jax.device_get(dense)).view(np.uint8)
+        np.testing.assert_array_equal(vbytes[: vg.size], vg)
+        # decode side at the same tile (wide markers + two-plane fill)
+        out = fl_dense_pallas.fl_decode_dense_pallas(
+            dense.reshape(-1, 128), b2, woffs, frames, tile_r=R64)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(out)).reshape(-1).view(
+                np.uint8)[:n], data[:n])
+
+
+@pytest.mark.parametrize("fb", [3, 5, 6, 7])
+def test_stripped_odd_width_kernels(fb):
+    """Round-4 stripped single-width kernels for ODD widths: a globally
+    uniform w3/w5/w6/w7 stream dispatches the single-width BlockSpec
+    pipeline (one flat mask plane) and round-trips bit-exactly."""
+    import jax
+
+    R16 = 16
+    g = np.random.default_rng(40 + fb)
+    n = R16 * 512 * 3 + 129
+    lo, hi = 1 << (fb - 1), 1 << fb
+    npad = -(-n // (R16 * 512)) * (R16 * 512)
+    data = np.zeros(npad, np.uint8)
+    data[:n] = g.integers(lo, hi, n).astype(np.uint8)
+    data[::128] = np.uint8(hi - 1)      # pin every frame at width fb
+    data[n:] = 0
+    assert fl_dense_pallas.host_probe_uniform_b(data, R16) == fb
+    frames = -(-n // 128)
+    b2, dense, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
+        jnp.asarray(data.view(np.uint32)), jnp.int32(frames), fb,
+        tile_r=R16)
+    assert int(jax.device_get(flag)) == 0
+    bg, vg = fl_numpy.encode(data[:n])
+    bits = np.asarray(jax.device_get(b2)).reshape(-1)[:frames]
+    np.testing.assert_array_equal(bits, bg)
+    vbytes = np.asarray(jax.device_get(dense)).reshape(-1).view(np.uint8)
+    np.testing.assert_array_equal(vbytes[: vg.size], vg)
+    # single-width decode (flat-plane inverse)
+    rows = npad // 512
+    out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+        dense.reshape(-1, LANES_TEST), fb, rows, tile_r=R16)
+    np.testing.assert_array_equal(
+        np.asarray(jax.device_get(out)).reshape(-1).view(np.uint8)[:n],
+        data[:n])
+
+
+LANES_TEST = 128
+
+
+def test_host_decode_uniform_odd_dispatch(monkeypatch):
+    """fl_jax.decode dispatches the stripped odd single-width decoder
+    for an all-w3 widths header (forced-dense CPU run)."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 16)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense_dec",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    calls = []
+    orig = fl_dense_pallas.fl_decode_dense_uniform_pallas
+
+    def spy(*a, **k):
+        calls.append(k.get("tile_r"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fl_dense_pallas,
+                        "fl_decode_dense_uniform_pallas", spy)
+    g = np.random.default_rng(55)
+    n = 128 * 16 * 4 * 40 + 7
+    data = (g.integers(0, 4, n) + 4).astype(np.uint8)   # all width 3
+    bits, values = fl_numpy.encode(data)
+    out = fl_jax.decode(n, bits, values, bucket_frames=64)
+    np.testing.assert_array_equal(out, data)
+    assert calls, "odd uniform decode kernel not dispatched"

@@ -144,3 +144,50 @@ def test_device_dispatch_wrappers(fuzz_inputs):
         np.testing.assert_array_equal(v, vg)
         np.testing.assert_array_equal(rl_jax.decode(cg, vg),
                                       rl_numpy.decode(cg, vg))
+
+
+@pytest.mark.timeout(600)
+def test_rl_wide_tiles_roundtrip():
+    """Round-4 WIDE two-array networks in the RL kernels: a single
+    R=512-row sub-tile (> 2^15 elements — the old cap) replaces the
+    per-sub merge machinery; parity vs the NumPy golden on long-run,
+    short-run, cap-straddling and constant streams, both directions."""
+    import jax
+
+    from fl_rl_compression_mpi_tpu.ops import rl_numpy
+    g = np.random.default_rng(77)
+    R = 512
+    rows = R * 2
+    n = rows * 128 - 13
+    streams = {
+        "long-run": np.resize(np.repeat(
+            g.integers(0, 256, n // 40 + 2, np.uint8),
+            g.integers(20, 60, n // 40 + 2)), n),
+        "short-run": np.resize(np.repeat(
+            g.integers(0, 256, n // 3 + 2, np.uint8),
+            g.integers(1, 5, n // 3 + 2)), n),
+        "cap-straddle": np.resize(np.repeat(
+            g.integers(0, 256, n // 700 + 2, np.uint8),
+            g.integers(500, 900, n // 700 + 2)), n),
+        "zeros": np.zeros(n, np.uint8),
+    }
+    for name, data in streams.items():
+        data = np.ascontiguousarray(data[:n])
+        buf = np.zeros((rows, 128), np.uint8)
+        buf.reshape(-1)[:n] = data
+        packed, total = rl_pallas.rl_encode_pallas(
+            jnp.asarray(buf), jnp.int32(n), tile_rows=R, sub_rows=R)
+        cg, vg = rl_numpy.encode(data)
+        r = int(jax.device_get(total))
+        assert r == cg.size, (name, r, cg.size)
+        c_d, v_d = rl_pallas.rl_split_packed(packed, total, jnp.int32(n))
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(c_d))[:r], cg, err_msg=name)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(v_d))[:r], vg, err_msg=name)
+        # wide decode: R=sub=512 tile from the packed stream
+        out = rl_pallas.rl_decode_packed_pallas(
+            packed, total, rows, tile_rows=R, sub_rows=R)
+        np.testing.assert_array_equal(
+            np.asarray(jax.device_get(out)).reshape(-1)[:n], data,
+            err_msg=name)
