@@ -346,13 +346,18 @@ def main() -> int:
                     if fb in chains:
                         return chains[fb]
                     if fb:
+                        ru = fl_dense_pallas.uniform_tile_r(
+                            fb, npad // 512)
+
                         def rt(w):
                             b2, dense, flag = \
                                 fl_dense_pallas.\
-                                fl_encode_dense_uniform_pallas(w, nf, fb)
+                                fl_encode_dense_uniform_pallas(
+                                    w, nf, fb, tile_r=ru)
                             return fl_dense_pallas.\
                                 fl_decode_dense_uniform_pallas(
-                                    dense, fb, npad // 512).reshape(-1)
+                                    dense, fb, npad // 512,
+                                    tile_r=ru).reshape(-1)
                     else:
                         def rt(w):
                             b2, dense, _, woffs = \
@@ -479,10 +484,15 @@ def main() -> int:
                     jnp.asarray(rl_host.reshape(rows_rl, 128)))
                 nn_rl = jnp.int32(nrl)
 
+                enc_r = rl_pallas.encode_tile_rows(rows_rl)
+                dec_r = rl_pallas.decode_tile_rows(rows_rl)
+
                 def rl_pair(v):
-                    packed, total = rl_pallas.rl_encode_pallas(v, nn_rl)
+                    packed, total = rl_pallas.rl_encode_pallas(
+                        v, nn_rl, tile_rows=enc_r, sub_rows=enc_r)
                     return rl_pallas.rl_decode_packed_pallas(
-                        packed, total, rows_rl)
+                        packed, total, rows_rl, tile_rows=dec_r,
+                        sub_rows=dec_r)
 
                 @functools.partial(jax.jit, static_argnames=("k",))
                 def rl_chain(v, k):

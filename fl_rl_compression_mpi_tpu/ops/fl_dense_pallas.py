@@ -1285,6 +1285,21 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
     )(src, jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(fpw))
 
 
+def uniform_tile_r(fb: int, rows: int | None = None) -> int:
+    """Per-width tile size for the stripped single-width kernels (chip
+    A/B, exp48 STAGE=uni, 3 cycles): w8 pairs 300-336 GB/s at R=2048 vs
+    266-301 at R=1024 (identity placement — bigger blocks amortize the
+    fixed costs without extra rounds), while w4 LOSES at 2048 (89.6-90.8
+    vs 97-99: the ~12 placement rounds, not block size, bound it) and
+    w1 is flat (68.5-68.7 vs 68.7-72).  So fb=8 gets 2048 when the
+    buffer allows (``rows`` divisible), everything else keeps the
+    DENSE_UNIFORM_TILE_R default."""
+    base = DENSE_UNIFORM_TILE_R
+    if fb == 8 and base == 1024 and (rows is None or rows % 2048 == 0):
+        return 2048
+    return base
+
+
 def uniform_kernel_available(fb: int, R: int, inverse: bool = False
                              ) -> bool:
     """True when a stripped single-width kernel exists for (fb, R)."""

@@ -286,6 +286,10 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
         fbp = (fl_dense_pallas.host_probe_uniform_b(buf, Ru)
                if npad % (Ru * 512) == 0 else None)
+        if fbp is not None:
+            # per-width tile choice (w8 -> 2048 when the buffer allows;
+            # chip A/B in fl_dense_pallas.uniform_tile_r)
+            Ru = fl_dense_pallas.uniform_tile_r(fbp, npad // 512)
         dense = None
         krn = []
         with stage("Compression", n, result=krn):
@@ -406,8 +410,8 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         # single-width block-walk decoder (no window DMA, no offsets)
         ba = bits[:frames]
         fbu = (int(ba[0]) if ba.size and (ba == ba[0]).all() else 0)
-        Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
-        if (rows % Ru == 0
+        Ru = (fl_dense_pallas.uniform_tile_r(fbu, rows) if fbu else 0)
+        if (fbu and rows % Ru == 0
                 and fl_dense_pallas.uniform_kernel_available(
                     fbu, Ru, inverse=True)):
             Kr = fbu * Ru // 8

@@ -127,8 +127,9 @@ def rl_encode_device(data: jax.Array, n: jax.Array) -> RLEncoded:
     npad = data.shape[0]
     if _use_pallas(npad):
         from . import rl_pallas
+        R = rl_pallas.encode_tile_rows(npad // 128)
         packed, total = rl_pallas.rl_encode_pallas(
-            data.reshape(-1, 128), n)
+            data.reshape(-1, 128), n, tile_rows=R, sub_rows=R)
         counts, values = rl_pallas.rl_split_packed(packed, total, n)
         return RLEncoded(counts=counts, values=values, num_runs=total)
     return rl_encode(data, n)
@@ -144,8 +145,10 @@ def rl_decode_device(counts: jax.Array, values: jax.Array,
     needed to compute it; None = safe worst case)."""
     if _use_pallas_dec(out_pad) and counts.shape[0] % 128 == 0:
         from . import rl_pallas
+        R = rl_pallas.decode_tile_rows(out_pad // 128)
         out2d = rl_pallas.rl_decode_pallas(counts, values, num_runs,
-                                           out_pad // 128,
+                                           out_pad // 128, tile_rows=R,
+                                           sub_rows=R,
                                            win_rows=win_rows)
         return out2d.reshape(-1)
     return rl_decode(counts, values, num_runs, n, out_pad)

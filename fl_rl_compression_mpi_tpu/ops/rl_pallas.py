@@ -57,6 +57,27 @@ TILE_ROWS = int(os.environ.get("FLRL_RL_TILE_ROWS", "256"))
 SUB_ROWS = 256
 DEC_TILE_ROWS = int(os.environ.get("FLRL_RL_DEC_TILE_ROWS", "128"))
 DEC_SUB_ROWS = 128
+# Adaptive single-sub WIDE tiles (round 4, chip A/B exp49: the slow
+# paths are a wash — long-run pair 7.33-7.38 -> 7.40-7.42, short-run
+# 3.55 -> 3.57 — while CONSTANT regions gain ~2x, zeros 37-41 -> 72-88
+# GB/s: the closed-form fast paths amortize per-tile fixed cost over 4-8x
+# bigger tiles, and the wide two-array networks remove the per-sub merge
+# ladders that made big tiles lose in exp13).
+WIDE_ROWS = int(os.environ.get("FLRL_RL_WIDE_ROWS", "1024"))
+
+
+def encode_tile_rows(rows: int) -> int:
+    """Adaptive encode tile: one WIDE single-sub tile when the buffer
+    divides, else the r3 default (see WIDE_ROWS note)."""
+    return WIDE_ROWS if WIDE_ROWS and rows % WIDE_ROWS == 0 else TILE_ROWS
+
+
+def decode_tile_rows(rows_out: int) -> int:
+    """Adaptive decode tile (must match the ``tile_rows`` used to compute
+    any :func:`decode_window_rows` hint — a hint for a smaller tile can
+    under-cover a bigger tile's run span)."""
+    return (WIDE_ROWS if WIDE_ROWS and rows_out % WIDE_ROWS == 0
+            else DEC_TILE_ROWS)
 _I32MAX = 2 ** 31 - 1
 
 

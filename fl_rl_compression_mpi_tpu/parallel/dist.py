@@ -197,48 +197,51 @@ def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
     return fn(words2d, nframes)
 
 
-def _fl_local_encode_dense_uniform(fb):
+def _fl_local_encode_dense_uniform(fb, tile_r):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
         b2, dense, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
-            words[0], n_frames[0], fb)
+            words[0], n_frames[0], fb, tile_r=tile_r)
         return b2[None], dense[None], flag[None]
     return f
 
 
 def fl_compress_sharded_dense_uniform(mesh: Mesh, words2d: jax.Array,
-                                      nframes: jax.Array, fb: int):
+                                      nframes: jax.Array, fb: int,
+                                      tile_r: int | None = None):
     """Per-shard SINGLE-WIDTH dense encode (speculative — see
     ops/fl_dense_pallas.py): every chip runs the stripped BlockSpec
     kernel; the caller validates from the pulled widths (or the
     per-shard flags) and re-runs the general program on a miss."""
     fn = _cached(
-        ("fl_enc_dense_u", mesh, fb),
+        ("fl_enc_dense_u", mesh, fb, tile_r),
         lambda: jax.jit(jax.shard_map(
-            _fl_local_encode_dense_uniform(fb), mesh=mesh,
+            _fl_local_encode_dense_uniform(fb, tile_r), mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS)),
             out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
             check_vma=False)))
     return fn(words2d, nframes)
 
 
-def _fl_local_decode_dense_uniform(fb, rows_shard):
+def _fl_local_decode_dense_uniform(fb, rows_shard, tile_r):
     def f(dense, n_frames):
         from ..ops import fl_dense_pallas
         out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
-            dense[0], fb, rows_shard)
+            dense[0], fb, rows_shard, tile_r=tile_r)
         return out[None]
     return f
 
 
 def fl_decompress_sharded_dense_uniform(mesh: Mesh, dense3d, nframes,
-                                        fb: int, rows_shard: int):
+                                        fb: int, rows_shard: int,
+                                        tile_r: int | None = None):
     """Per-shard SINGLE-WIDTH dense decode (exact — the widths header is
     known): each chip block-walks its own compressed slice."""
     fn = _cached(
-        ("fl_dec_dense_u", mesh, fb, rows_shard),
+        ("fl_dec_dense_u", mesh, fb, rows_shard, tile_r),
         lambda: jax.jit(jax.shard_map(
-            _fl_local_decode_dense_uniform(fb, rows_shard), mesh=mesh,
+            _fl_local_decode_dense_uniform(fb, rows_shard, tile_r),
+            mesh=mesh,
             in_specs=(P(AXIS, None, None), P(AXIS)),
             out_specs=P(AXIS, None, None), check_vma=False)))
     return fn(dense3d, nframes)
@@ -464,8 +467,11 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
                and plan.shard_npad % (Ru * 512) == 0 else None)
         bits_h = dense_d = None
         if fbp is not None:
+            # per-width tile choice (w8 -> 2048; see uniform_tile_r)
+            Ru_fb = fl_dense_pallas.uniform_tile_r(
+                fbp, plan.shard_npad // 512)
             b_u, d_u, flags = fl_compress_sharded_dense_uniform(
-                mesh, wd, nfs_arr, fbp)
+                mesh, wd, nfs_arr, fbp, tile_r=Ru_fb)
             if not int(np.asarray(jax.device_get(flags)).sum()):
                 bits_h = np.asarray(jax.device_get(b_u))
                 dense_d = d_u.reshape(n_dev, -1)
@@ -608,8 +614,9 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         frames_all = -(-n // frame_length)
         ba = comp.bits[:frames_all]
         fbu = int(ba[0]) if ba.size and (ba == ba[0]).all() else 0
-        Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
-        if (frame_length == 128 and rows_shard % Ru == 0
+        Ru = (fl_dense_pallas.uniform_tile_r(fbu, rows_shard) if fbu
+              else 0)
+        if (fbu and frame_length == 128 and rows_shard % Ru == 0
                 and fl_dense_pallas.uniform_kernel_available(
                     fbu, Ru, inverse=True)):
             Kr = fbu * Ru // 8
@@ -631,7 +638,7 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
                 voff += vsz
             out = jax.device_get(fl_decompress_sharded_dense_uniform(
                 mesh, jnp.asarray(dense3d), jnp.asarray(nfr), fbu,
-                rows_shard))
+                rows_shard, tile_r=Ru))
             out_bytes = np.ascontiguousarray(
                 np.asarray(out)).view(np.uint8).reshape(n_dev, -1)
             return np.concatenate(
@@ -739,9 +746,13 @@ def decompress_rl(comp: RLCompressed, mesh: Mesh | None = None,
     # window DMA up to 16× on compressible data — rl_pallas.py).  The
     # shard_map program is one executable, so take the max over shards.
     from ..ops import rl_pallas
+    # the hint MUST be computed for the same tile size the device decode
+    # will pick (adaptive since round 4): a hint for a smaller tile can
+    # under-cover a bigger tile's run span
+    dec_r = rl_pallas.decode_tile_rows(out_pad // 128)
     win_rows = max(
         (rl_pallas.decode_window_rows(counts2d[i, : nrs[i]],
-                                      out_pad // 128)
+                                      out_pad // 128, tile_rows=dec_r)
          for i in range(n_dev) if nrs[i]), default=None)
     out = jax.device_get(rl_decompress_sharded(
         mesh, jnp.asarray(counts2d), jnp.asarray(values2d),
