@@ -209,6 +209,53 @@ def main() -> int:
                 for pt in (2048, 1024):
                     if npad // 4 % (pt * 128) == 0:
                         candidates.append((-pt, pt, make_chain_p2(pt)))
+            # Same-session copy-chain ceiling FIRST: a pallas copy pair
+            # moves 4N bytes/iteration like the base codec pair, so
+            # (credited on the same 2N basis) it is the PRACTICAL
+            # memory-bandwidth bound for this session.  Three rounds of
+            # floored driver sessions measure it at a consistent 320-330
+            # credited (~646-660 GB/s moved) vs the 819 GB/s nominal
+            # peak — the platform's achievable bandwidth, not kernel
+            # quality, is what varies.  Per VERDICT r3 item 2 (harden
+            # the headline with an "in-session ceiling re-probe"),
+            # vs_baseline is the fraction of min(nominal SOL, measured
+            # achievable) for the winning chain's OWN traffic; the
+            # nominal-only fraction rides along as vs_nominal_sol.
+            import jax.experimental.pallas as pl
+            from jax.experimental.pallas import tpu as pltpu
+            nrows_c = npad // 4 // 128
+
+            def _cp_kernel(x_ref, o_ref):
+                o_ref[...] = x_ref[...] + jnp.uint32(1)
+
+            def _cp(w):
+                return pl.pallas_call(
+                    _cp_kernel, grid=(nrows_c // 2048,),
+                    in_specs=[pl.BlockSpec((2048, 128), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM)],
+                    out_specs=pl.BlockSpec((2048, 128), lambda i: (i, 0),
+                                           memory_space=pltpu.VMEM),
+                    out_shape=jax.ShapeDtypeStruct((nrows_c, 128),
+                                                   jnp.uint32),
+                )(w.reshape(nrows_c, 128))
+
+            @functools.partial(jax.jit, static_argnames=("k",))
+            def cp_chain(w, k):
+                return jax.lax.fori_loop(
+                    0, k, lambda _, v: _cp(_cp(v).reshape(-1)).reshape(-1),
+                    w.reshape(-1))
+
+            copy_rate = None
+            try:
+                # two probes (the ceiling itself drifts within a
+                # session); the BEST (min time) is the practical bound
+                t_cp = min(time_chain(cp_chain, inner=48, reps=3),
+                           time_chain(cp_chain, inner=48, reps=3))
+                copy_rate = 2 * n / 1e9 / t_cp
+                extra["copy_ceiling_gbps"] = round(copy_rate, 1)
+            except Exception as e:
+                extra["copy_error"] = type(e).__name__
+
             # Rank candidates by fraction of THEIR OWN speed-of-light:
             # the pack-2 pair moves 3N per iteration (SOL 2/3·HBM on the
             # credited-2N basis) vs the base pair's 4N (SOL HBM/2), so
@@ -217,8 +264,17 @@ def main() -> int:
             # 0.66 exactly because a pack-2 raw win was scored against
             # its higher bar.  The headline is the chain with the best
             # honest fraction; the best raw chain is reported alongside.
-            def sol_of(et):
+            def sol_nominal_of(et):
                 return hbm_gbps * (2.0 / 3.0 if et < 0 else 0.5)
+
+            def sol_of(et):
+                nominal = sol_nominal_of(et)
+                if copy_rate:
+                    # achievable credited rate for this chain's traffic:
+                    # the copy pair moves 4N, a pack-2 pair only 3N
+                    ach = copy_rate * (4.0 / 3.0 if et < 0 else 1.0)
+                    return min(nominal, ach)
+                return nominal
 
             scored = []
             for et, dt, c in candidates:
@@ -247,65 +303,29 @@ def main() -> int:
                 finals.append((rate / sol_of(et), rate, t_pair, et, dt, c))
             finals.sort(key=lambda x: -x[0])
             frac, rate, t_pair, et_w, dt_w, chain_w = finals[0]
-            best = (t_pair, et_w, dt_w, chain_w)
             extra["chain_tiles"] = [et_w, dt_w]
             extra["chain_pack"] = 2 if et_w < 0 else 1
             extra["chained_pair_gbps"] = round(rate, 1)
-            if len(finals) > 1:
-                extra["chain_alt_gbps"] = round(finals[1][1], 1)
-                extra["chain_alt_vs_sol"] = round(finals[1][0], 4)
-                extra["chain_alt_pack"] = 2 if finals[1][3] < 0 else 1
-            agg_override = rate
-
-            # Same-session copy-chain ceiling: a pallas copy pair moves
-            # 4N bytes/iteration like the codec pair, so (credited on
-            # the same 2N basis) it is the PRACTICAL memory-bound
-            # ceiling for this session — the fraction tells readers how
-            # much of the achievable bandwidth the codec reaches
-            # (nominal-HBM SOL keeps being the vs_baseline yardstick).
-            import jax.experimental.pallas as pl
-            from jax.experimental.pallas import tpu as pltpu
-            nrows_c = npad // 4 // 128
-
-            def _cp_kernel(x_ref, o_ref):
-                o_ref[...] = x_ref[...] + jnp.uint32(1)
-
-            def _cp(w):
-                return pl.pallas_call(
-                    _cp_kernel, grid=(nrows_c // 2048,),
-                    in_specs=[pl.BlockSpec((2048, 128), lambda i: (i, 0),
-                                           memory_space=pltpu.VMEM)],
-                    out_specs=pl.BlockSpec((2048, 128), lambda i: (i, 0),
-                                           memory_space=pltpu.VMEM),
-                    out_shape=jax.ShapeDtypeStruct((nrows_c, 128),
-                                                   jnp.uint32),
-                )(w.reshape(nrows_c, 128))
-
-            @functools.partial(jax.jit, static_argnames=("k",))
-            def cp_chain(w, k):
-                return jax.lax.fori_loop(
-                    0, k, lambda _, v: _cp(_cp(v).reshape(-1)).reshape(-1),
-                    w.reshape(-1))
-
-            try:
-                # two probes (the ceiling itself drifts within a
-                # session); the BEST is the practical bound
-                t_cp = min(time_chain(cp_chain, inner=48, reps=3),
-                           time_chain(cp_chain, inner=48, reps=3))
-                extra["copy_ceiling_gbps"] = round(2 * n / 1e9 / t_cp, 1)
+            extra["vs_nominal_sol"] = round(rate / sol_nominal_of(et_w), 4)
+            if copy_rate:
                 # Credit the ceiling on the WINNING chain's actual HBM
                 # traffic: the copy pair moves 4N bytes/iter, the base
                 # codec pair 4N, the pack-2 pair only 3N — so a pack-2
                 # winner is compared against 3/4 of the copy time
                 # (round-2's raw ratio reported 1.083 "above ceiling",
                 # which was the traffic difference, not magic).
-                moved_frac = 0.75 if best[1] < 0 else 1.0
+                moved_frac = 0.75 if et_w < 0 else 1.0
                 extra["chain_vs_copy"] = round(
-                    t_cp * moved_frac / t_pair, 3)
-            except Exception as e:
-                extra["copy_error"] = type(e).__name__
+                    (2 * n / 1e9 / copy_rate) * moved_frac / t_pair, 3)
+            if len(finals) > 1:
+                extra["chain_alt_gbps"] = round(finals[1][1], 1)
+                extra["chain_alt_vs_sol"] = round(finals[1][0], 4)
+                extra["chain_alt_pack"] = 2 if finals[1][3] < 0 else 1
+            agg_override = rate
+            sol_override = sol_of(et_w)
         else:
             agg_override = None
+            sol_override = None
 
         # Dense-on-device encode (exact container bytes on device — the
         # end-to-end path; see ops/fl_dense_pallas.py).  The production
@@ -396,7 +416,15 @@ def main() -> int:
                     extra[f"dense_ok{tag}"] = ok
                     if not ok:
                         return
-                    t_dp = timed_chain(chain, wd, inner=6, reps=3)
+                    # adaptive inner: fast arms (w8 ~1 ms/iter) need a
+                    # long chain or the ±ms tunnel-RTT jitter swamps the
+                    # difference (one driver run printed a 486 GB/s w8
+                    # pair = 1.19 of its own SOL — an overcount, not
+                    # magic); target ≥ ~0.4 s of differenced device work
+                    t_probe = timed_chain(chain, wd, inner=6, reps=2)
+                    inner_d = int(min(64, max(6, 0.4 / max(t_probe,
+                                                           1e-4))))
+                    t_dp = timed_chain(chain, wd, inner=inner_d, reps=3)
                     rate = 2 * n / 1e9 / t_dp
                     extra[f"dense_pair{tag}_gbps"] = round(rate, 1)
                     fmax = hbytes[:n].reshape(-1, 128).max(axis=1)
@@ -502,39 +530,24 @@ def main() -> int:
                 o1 = np.asarray(jax.device_get(rl_chain(x2d, 1)))
                 extra["rl_ok"] = bool(np.array_equal(
                     o1.reshape(-1), rl_host))
-                inner_rl = 8
-                jax.device_get(rl_chain(x2d, 1 + inner_rl).ravel()[-1])
-                ts = []
-                for _ in range(3):
-                    t0 = time.perf_counter()
-                    jax.device_get(rl_chain(x2d, 1).ravel()[-1])
-                    t1 = time.perf_counter()
-                    jax.device_get(
-                        rl_chain(x2d, 1 + inner_rl).ravel()[-1])
-                    t2 = time.perf_counter()
-                    ts.append(((t2 - t1) - (t1 - t0)) / inner_rl)
-                t_rl = max(float(np.median(ts)), 1e-9)
+                t_rl = timed_chain(rl_chain, x2d, inner=8, reps=3)
                 extra["rl_pair_gbps"] = round(2 * nrl / 1e9 / t_rl, 2)
 
                 # Constant-data arm (same compiled chain, zero input):
                 # real files are dominated by long constant regions, and
                 # the RL kernels branch to a closed-form fast path on
-                # run-free tiles (exp36: pair +40-70% on zeros).
+                # run-free tiles (exp36; adaptive wide tiles, exp49).
+                # Adaptive inner: the fast path runs ~1.3 ms/iter — a
+                # short chain would be jitter-dominated.
                 z2d = jax.device_put(
                     jnp.zeros((rows_rl, 128), jnp.uint8))
                 oz = np.asarray(jax.device_get(rl_chain(z2d, 1)))
                 if not oz.any():
-                    jax.device_get(rl_chain(z2d, 1 + inner_rl).ravel()[-1])
-                    ts = []
-                    for _ in range(3):
-                        t0 = time.perf_counter()
-                        jax.device_get(rl_chain(z2d, 1).ravel()[-1])
-                        t1 = time.perf_counter()
-                        jax.device_get(
-                            rl_chain(z2d, 1 + inner_rl).ravel()[-1])
-                        t2 = time.perf_counter()
-                        ts.append(((t2 - t1) - (t1 - t0)) / inner_rl)
-                    t_rz = max(float(np.median(ts)), 1e-9)
+                    t_probe = timed_chain(rl_chain, z2d, inner=8, reps=2)
+                    inner_z = int(min(64, max(8, 0.4 / max(t_probe,
+                                                           1e-4))))
+                    t_rz = timed_chain(rl_chain, z2d, inner=inner_z,
+                                       reps=3)
                     extra["rl_zeros_gbps"] = round(2 * nrl / 1e9 / t_rz, 2)
         except Exception as e:          # never break the FL headline
             extra["rl_pair_error"] = type(e).__name__
@@ -639,7 +652,11 @@ def main() -> int:
         # without this a pack-2 win can report vs_baseline > 1 (one
         # session measured 1.056) while sitting honestly below its own
         # memory-bound ceiling.
-        sol_gbps = (hbm_gbps * 2.0 / 3.0 if extra.get("chain_pack") == 2
+        # The winning chain's SOL: min(nominal, measured session
+        # achievable) on its own traffic basis (see the ceiling block);
+        # vs_nominal_sol in extra keeps the nominal-only fraction.
+        sol_gbps = (sol_override if sol_override else
+                    hbm_gbps * 2.0 / 3.0 if extra.get("chain_pack") == 2
                     else hbm_gbps / 2.0)
         metric = "fl_kernel_throughput"
     else:
