@@ -549,6 +549,19 @@ def main() -> int:
                     t_rz = timed_chain(rl_chain, z2d, inner=inner_z,
                                        reps=3)
                     extra["rl_zeros_gbps"] = round(2 * nrl / 1e9 / t_rz, 2)
+                # Half-constant arm (4 MiB constant blocks interleaved
+                # with run-structured blocks — the realistic mix where
+                # the constant-tile fast paths engage per tile)
+                half = rl_host.copy()
+                blk = 4 << 20
+                for off in range(0, nrl, 2 * blk):
+                    half[off:off + blk] = half[off] if off < nrl else 0
+                h2d_rl = jax.device_put(
+                    jnp.asarray(half.reshape(rows_rl, 128)))
+                oh = np.asarray(jax.device_get(rl_chain(h2d_rl, 1)))
+                if np.array_equal(oh.reshape(-1), half):
+                    t_rh = timed_chain(rl_chain, h2d_rl, inner=8, reps=3)
+                    extra["rl_half_gbps"] = round(2 * nrl / 1e9 / t_rh, 2)
         except Exception as e:          # never break the FL headline
             extra["rl_pair_error"] = type(e).__name__
 
