@@ -688,10 +688,12 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r", "debug_path"))
+@functools.partial(jax.jit, static_argnames=("tile_r", "debug_path",
+                                              "odd_tiles"))
 def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
                            tile_r: int | None = None,
-                           debug_path: bool = False):
+                           debug_path: bool = False,
+                           odd_tiles: bool = True):
     """Dense FL encode.  ``words`` u32[NW] (NW a tile multiple, bytes
     beyond the input zero); ``n_frames`` = ceil(n/128) (traced).
 
@@ -713,7 +715,15 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     assert nw % (R * LANES) == 0
     grid = nw // (R * LANES)
     lw, rw, slots = _uniform_place_masks(R)
-    fpw, oslots = _odd_place_masks(R)
+    if odd_tiles:
+        fpw, oslots = _odd_place_masks(R)
+    else:
+        # odd_tiles=False drops the always-resident (3R,128) flat mask
+        # planes and the 4 odd-width dispatch branches: odd-UNIFORM
+        # tiles then take the general network (correct, just not
+        # odd-fast).  Callers pick this variant for streams with no
+        # odd-uniform tiles.
+        fpw, oslots = np.zeros((8, LANES), np.int32), None
 
     out_specs_extra = []
     out_shape_extra = []
@@ -988,10 +998,11 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r",))
+@functools.partial(jax.jit, static_argnames=("tile_r", "odd_tiles"))
 def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
                            woffs: jax.Array, n_frames: jax.Array,
-                           tile_r: int | None = None) -> jax.Array:
+                           tile_r: int | None = None,
+                           odd_tiles: bool = True) -> jax.Array:
     """Dense FL decode: the container's packed stream (u32-word view,
     zero-padded) + per-frame widths -> decoded words, on device.
 
@@ -1007,7 +1018,13 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
     grid = rows // R
     assert woffs.shape[0] == grid
     lw, rw, slots = _uniform_unplace_masks(R)
-    fpw, oslots = _odd_unplace_masks(R)
+    if odd_tiles:
+        fpw, oslots = _odd_unplace_masks(R)
+    else:
+        # see fl_encode_dense_pallas(odd_tiles=False); the DECODER's
+        # caller knows exactly from the widths header whether any tile
+        # is odd-uniform
+        fpw, oslots = np.zeros((8, LANES), np.int32), None
 
     out = pl.pallas_call(
         _decode_kernel(R, grid, slots, oslots),
