@@ -587,3 +587,42 @@ def test_host_decode_uniform_odd_dispatch(monkeypatch):
     out = fl_jax.decode(n, bits, values, bucket_frames=64)
     np.testing.assert_array_equal(out, data)
     assert calls, "odd uniform decode kernel not dispatched"
+
+
+def test_per_width_uniform_tile_dispatch(monkeypatch):
+    """uniform_tile_r picks R=2048 for w8 when the buffer divides (chip
+    A/B exp48: w8 300-336 at 2048 vs 266-301 at 1024) and keeps the
+    base tile otherwise; fl_jax.decode dispatches accordingly."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    assert fl_dense_pallas.uniform_tile_r(8, 4096) == 2048
+    assert fl_dense_pallas.uniform_tile_r(8, 3072) == 1024  # not % 2048
+    assert fl_dense_pallas.uniform_tile_r(4, 4096) == 1024  # w4 loses
+    assert fl_dense_pallas.uniform_tile_r(1, 4096) == 1024
+    # end-to-end: small tiles so interpret mode stays fast — base 16,
+    # w8 upgrades to 32 when rows divide
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 16)
+    monkeypatch.setattr(
+        fl_dense_pallas, "uniform_tile_r",
+        lambda fb, rows=None: 32 if fb == 8 and (
+            rows is None or rows % 32 == 0) else 16)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense_dec",
+        lambda fl_len, nw: fl_len == 128 and nw % (8 * 128) == 0)
+    calls = []
+    orig = fl_dense_pallas.fl_decode_dense_uniform_pallas
+
+    def spy(*a, **k):
+        calls.append(k.get("tile_r"))
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fl_dense_pallas,
+                        "fl_decode_dense_uniform_pallas", spy)
+    g = np.random.default_rng(66)
+    n = 32 * 512 * 4 * 16 + 3           # rows divisible by 32
+    data = g.integers(0, 256, n).astype(np.uint8)
+    data[::64] |= 128                    # every frame width 8
+    bits, values = fl_numpy.encode(data)
+    out = fl_jax.decode(n, bits, values, bucket_frames=256)
+    np.testing.assert_array_equal(out, data)
+    assert calls and calls[0] == 32, calls
