@@ -322,7 +322,12 @@ def main() -> int:
                 extra["chain_alt_vs_sol"] = round(finals[1][0], 4)
                 extra["chain_alt_pack"] = 2 if finals[1][3] < 0 else 1
             agg_override = rate
-            sol_override = sol_of(et_w)
+            # the winning chain is itself evidence of achievable
+            # bandwidth: a spuriously SLOW ceiling probe must not push
+            # the fraction past 1 (the converse — degenerate-fast — is
+            # already handled by the min() with nominal)
+            sol_override = min(sol_nominal_of(et_w),
+                               max(sol_of(et_w), rate))
         else:
             agg_override = None
             sol_override = None
