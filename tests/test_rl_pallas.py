@@ -191,3 +191,28 @@ def test_rl_wide_tiles_roundtrip():
         np.testing.assert_array_equal(
             np.asarray(jax.device_get(out)).reshape(-1)[:n], data,
             err_msg=name)
+
+
+def test_adaptive_tile_selection():
+    """encode/decode_tile_rows pick WIDE single-sub tiles only when the
+    buffer divides (exp49: slow paths a wash, constant regions ~2x),
+    and the hint contract: decode_window_rows must be computed for the
+    tile size the decode picks."""
+    assert rl_pallas.encode_tile_rows(rl_pallas.WIDE_ROWS * 4) \
+        == rl_pallas.WIDE_ROWS
+    assert rl_pallas.encode_tile_rows(rl_pallas.WIDE_ROWS * 4 + 256) \
+        == rl_pallas.TILE_ROWS
+    assert rl_pallas.decode_tile_rows(rl_pallas.WIDE_ROWS * 2) \
+        == rl_pallas.WIDE_ROWS
+    assert rl_pallas.decode_tile_rows(640) == rl_pallas.DEC_TILE_ROWS
+    # the hint for a wide tile covers at least the base tile's hint
+    g = np.random.default_rng(3)
+    counts = np.resize(np.repeat(
+        g.integers(0, 256, 4096, np.uint8),
+        g.integers(16, 112, 4096)), 1 << 16).astype(np.uint8)
+    counts[counts == 0] = 1
+    rows_out = -(-int(counts.astype(np.int64).sum()) // 128)
+    rows_out = -(-rows_out // 1024) * 1024
+    w_small = rl_pallas.decode_window_rows(counts, rows_out, tile_rows=128)
+    w_wide = rl_pallas.decode_window_rows(counts, rows_out, tile_rows=1024)
+    assert w_wide >= w_small
