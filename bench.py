@@ -367,9 +367,10 @@ def main() -> int:
                     == fl_dense_pallas.DENSE_DEC_TILE_R):
                 chains = {}
 
-                def dense_chain_for(fb):
-                    if fb in chains:
-                        return chains[fb]
+                def dense_chain_for(fb, plan=None):
+                    key = (fb, plan)
+                    if key in chains:
+                        return chains[key]
                     if fb:
                         ru = fl_dense_pallas.uniform_tile_r(
                             fb, npad // 512)
@@ -384,20 +385,28 @@ def main() -> int:
                                     dense, fb, npad // 512,
                                     tile_r=ru).reshape(-1)
                     else:
+                        # general network with the production stream
+                        # plan (speculative on encode / exact on
+                        # decode; chip A/B exp51)
+                        wq_e, nq_e, wq_d, nq_d = plan or (1, None,
+                                                          1, None)
+
                         def rt(w):
-                            b2, dense, _, woffs = \
+                            outs = \
                                 fl_dense_pallas.fl_encode_dense_pallas(
-                                    w, nf)
+                                    w, nf, wmin=wq_e, route_nbits=nq_e)
+                            b2, dense, _, woffs = outs[:4]
                             return fl_dense_pallas.\
                                 fl_decode_dense_pallas(
                                     dense.reshape(-1, 128), b2, woffs,
-                                    nf).reshape(-1)
+                                    nf, wmin=wq_d,
+                                    route_nbits=nq_d).reshape(-1)
 
                     @functools.partial(jax.jit, static_argnames=("k",))
                     def chain(w, k, rt=rt):
                         return jax.lax.fori_loop(
                             0, k, lambda _, v: rt(v), w)
-                    chains[fb] = chain
+                    chains[key] = chain
                     return chain
 
                 def dense_arm(tag, hbytes):
@@ -411,7 +420,34 @@ def main() -> int:
                                 nf, fb)
                         if int(jax.device_get(flag)):
                             fb = None
-                    chain = dense_chain_for(fb)
+                    fmax = hbytes[:n].reshape(-1, 128).max(axis=1)
+                    wid = np.maximum(
+                        np.frexp(fmax.astype(np.float64))[1],
+                        1).astype(np.uint8)
+                    plan = None
+                    if not fb:
+                        # production dispatch: speculative encode plan
+                        # (first tile + device flag), exact decode plan
+                        # (widths header) — ops/fl_dense_pallas.py
+                        wq_e, nq_e = \
+                            fl_dense_pallas.host_probe_route_plan(
+                                hbytes)
+                        if wq_e > 1 or nq_e is not None:
+                            outs = \
+                                fl_dense_pallas.fl_encode_dense_pallas(
+                                    jnp.asarray(
+                                        hbytes.view(np.uint32)),
+                                    nf, wmin=wq_e, route_nbits=nq_e)
+                            if int(jax.device_get(outs[4])):
+                                wq_e, nq_e = 1, None
+                        R_d = fl_dense_pallas.DENSE_DEC_TILE_R
+                        wmin, _, dnb = fl_dense_pallas.host_route_plan(
+                            wid, wid.size)
+                        wq_d, nq_d = fl_dense_pallas.quantize_plan(
+                            wmin, dnb,
+                            (7 * (R_d * 16 - 1) + 1024).bit_length())
+                        plan = (wq_e, nq_e, wq_d, nq_d)
+                    chain = dense_chain_for(fb, plan)
                     extra[f"dense_path{tag}"] = (f"uniform-w{fb}" if fb
                                                  else "general")
                     wd = jax.device_put(jnp.asarray(hbytes.view(np.uint32)))
@@ -432,9 +468,6 @@ def main() -> int:
                     t_dp = timed_chain(chain, wd, inner=inner_d, reps=3)
                     rate = 2 * n / 1e9 / t_dp
                     extra[f"dense_pair{tag}_gbps"] = round(rate, 1)
-                    fmax = hbytes[:n].reshape(-1, 128).max(axis=1)
-                    wid = np.maximum(
-                        np.frexp(fmax.astype(np.float64))[1], 1)
                     r_arm = (wid.size + 16 * int(wid.sum())) / n
                     extra[f"dense_vs_sol{tag}"] = round(
                         rate / (hbm_gbps / (1.0 + r_arm)), 4)

@@ -90,9 +90,15 @@ def _pack_terms(b: int):
     return terms
 
 
-def _pack_groups(fields: jax.Array, b_lane: jax.Array) -> jax.Array:
+def _pack_groups(fields: jax.Array, b_lane: jax.Array,
+                 wmin: int = 1) -> jax.Array:
     """Funnel-pack each 8-lane group of spread fields into its first
-    ``b`` lanes (full u32 words of the dense stream); lanes ≥ b junk."""
+    ``b`` lanes (full u32 words of the dense stream); lanes ≥ b junk.
+
+    ``wmin``: static lower bound on the widths present — variants below
+    it are skipped entirely (the width-subset specialization; callers
+    guarantee no real frame is narrower, by the widths header on decode
+    or by the speculation flag on encode)."""
     lane8 = _iota(fields.shape, 1) % 8
     rot = {}
 
@@ -103,7 +109,7 @@ def _pack_groups(fields: jax.Array, b_lane: jax.Array) -> jax.Array:
         return rot[d]
 
     out = jnp.zeros_like(fields)
-    for b in range(1, 9):
+    for b in range(wmin, 9):
         vb = jnp.zeros_like(fields)
         for j, k, shift in _pack_terms(b):
             src = ROT(j - k)
@@ -516,11 +522,25 @@ def _unpack_groups_b(packed: jax.Array, b: int) -> jax.Array:
 FAST_BS = (1, 2, 4, 8)
 
 
-def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
-    nbits = (R * LANES - 1).bit_length()
+def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False,
+                   wmin: int = 1, route_nbits: int | None = None):
+    full_nbits = (R * LANES - 1).bit_length()
+    nbits = (full_nbits if route_nbits is None
+             else min(route_nbits, full_nbits))
+    # Speculative stream-plan mode (round 4): the caller guessed a width
+    # floor and/or a routing-round bound from the host probe; the kernel
+    # verifies BOTH per tile at zero vector cost (the widths check rides
+    # the compact (R,4) reduce, the distance check is a scalar derived
+    # from K — `8g − egp(g)` is monotone in g, so the tile max is
+    # `8·g_last − egp(g_last) ≤ 8·g_last − K + 8`) and raises a flag; a
+    # miss re-runs the default kernel (same contract as the uniform
+    # speculation, fl_jax.encode).
+    spec = wmin > 1 or nbits < full_nbits
 
     def kernel(nf_ref, w_ref, lm_ref, rm_ref, fp_ref, bits_ref, out_ref,
                total_ref, woff_ref, *rest):
+        if spec:
+            flag_ref, rest = rest[0], rest[1:]
         if debug_path:
             path_ref, carry, carry_row, merged, sem = rest
         else:
@@ -532,6 +552,8 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
         def _():
             carry[0] = 0           # emitted-word cursor
             carry_row[...] = jnp.zeros((1, LANES), jnp.uint32)
+            if spec:
+                flag_ref[0] = 0
         # the cursor at tile start is exactly the decoder's per-tile word
         # offset (fl_decode_dense_pallas's ``woffs``) — emit it so
         # device-to-device round trips skip the host offset scan
@@ -543,6 +565,13 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
         wq = _word_widths_f32exp(o)
         b_fpr = _frame_widths_fpr_mxu(wq, 32)
         bits_ref[...] = b_fpr.astype(jnp.uint8)
+        if wmin > 1:
+            # width-floor speculation check (pad frames are width 1 and
+            # must not trip it)
+            fmask = (_iota((R, 4), 0) * 4 + _iota((R, 4), 1)
+                     + i * R * 4) < n_frames
+            flag_ref[0] = flag_ref[0] | jnp.any(
+                (b_fpr < wmin) & fmask).astype(jnp.int32)
 
         fidx = flat_idx(R)
         lane8 = _iota((R, LANES), 1) % 8
@@ -641,7 +670,7 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
             r = r * m + ((w >> 16) & jnp.uint32(0xFF))
             r = r * m + ((w >> 8) & jnp.uint32(0xFF))
             fields = r * m + (w & jnp.uint32(0xFF))
-            packed = _pack_groups(fields, b_lane)
+            packed = _pack_groups(fields, b_lane, wmin)
             # placement: group g's payload starts at the cumulative b-sum
             # of prior groups in this tile; cross-tile base is the cursor
             live = (lane8 < b_lane) & frame_ok
@@ -658,6 +687,15 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
                 live,
                 jnp.int32(lanes.LIVE) | (dist << lanes.DIST_SHIFT),
                 jnp.int32(0))
+            if nbits < full_nbits:
+                # routing-round speculation check, scalar-only: the tile
+                # max distance is 8·g_last − egp(g_last) ≤ 8·g_last − K
+                # + 8 (monotone in g; w_last ≤ 8), all already in hand
+                lf = jnp.minimum((i + 1) * R * 4, n_frames) - i * R * 4
+                bound = 8 * (lf * 4 - 1) - K + 8
+                flag_ref[0] = flag_ref[0] | (
+                    (lf > 0) & (bound > (1 << nbits) - 1)).astype(
+                        jnp.int32)
             ctrl, pay = lanes.compact_lsb2(ctrl, packed, nbits)
             finish(pay, K)
 
@@ -689,11 +727,14 @@ def _encode_kernel(R: int, grid: int, slots, oslots, debug_path=False):
 
 
 @functools.partial(jax.jit, static_argnames=("tile_r", "debug_path",
-                                              "odd_tiles"))
+                                              "odd_tiles", "wmin",
+                                              "route_nbits"))
 def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
                            tile_r: int | None = None,
                            debug_path: bool = False,
-                           odd_tiles: bool = True):
+                           odd_tiles: bool = True,
+                           wmin: int = 1,
+                           route_nbits: int | None = None):
     """Dense FL encode.  ``words`` u32[NW] (NW a tile multiple, bytes
     beyond the input zero); ``n_frames`` = ceil(n/128) (traced).
 
@@ -709,11 +750,24 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
     clipped window reads need ``rows + R + 16`` rows to exist — and is a
     multiple of every uniform-kernel block so the speculative fast
     encoders (:func:`fl_encode_dense_uniform_pallas`) share the shape.
+
+    ``wmin``/``route_nbits`` (round 4): a speculative stream plan —
+    static width floor (pack variants below it skipped) and/or routing
+    round bound (LSB rounds above it skipped).  When either is active
+    the kernel verifies both per tile (the widths check rides the
+    compact (R,4) reduce; the distance check is a scalar derived from
+    K, since ``8g − egp(g)`` is monotone in g) and a FIFTH return value
+    ``flag`` (i32[]) is appended: nonzero means the plan was violated
+    and ``dense``/``woffs`` are junk — re-run with the defaults.
+    ``bits2d`` is exact either way.
     """
     R = DENSE_TILE_R if tile_r is None else tile_r
     nw = words.shape[0]
     assert nw % (R * LANES) == 0
     grid = nw // (R * LANES)
+    full_nbits = (R * LANES - 1).bit_length()
+    spec = wmin > 1 or (route_nbits is not None
+                        and route_nbits < full_nbits)
     lw, rw, slots = _uniform_place_masks(R)
     if odd_tiles:
         fpw, oslots = _odd_place_masks(R)
@@ -727,12 +781,16 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
 
     out_specs_extra = []
     out_shape_extra = []
+    if spec:
+        out_specs_extra.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        out_shape_extra.append(jax.ShapeDtypeStruct((1,), jnp.int32))
     if debug_path:
         out_specs_extra.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         out_shape_extra.append(jax.ShapeDtypeStruct((grid,), jnp.int32))
 
     outs = pl.pallas_call(
-        _encode_kernel(R, grid, slots, oslots, debug_path),
+        _encode_kernel(R, grid, slots, oslots, debug_path,
+                       wmin=wmin, route_nbits=route_nbits),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -772,9 +830,14 @@ def fl_encode_dense_pallas(words: jax.Array, n_frames: jax.Array,
       words.reshape(nw // LANES, LANES), jnp.asarray(lw),
       jnp.asarray(rw), jnp.asarray(fpw))
     bits2d, dense, total, woffs = outs[:4]
+    ret = (bits2d, dense.reshape(-1), total[0], woffs)
+    k = 4
+    if spec:
+        ret = ret + (outs[k][0],)
+        k += 1
     if debug_path:
-        return bits2d, dense.reshape(-1), total[0], woffs, outs[4]
-    return bits2d, dense.reshape(-1), total[0], woffs
+        ret = ret + (outs[k],)
+    return ret
 
 
 # ---------------------------------------------------------------------------
@@ -795,9 +858,12 @@ def _unpack_terms(b: int):
     return terms
 
 
-def _unpack_groups(packed: jax.Array, b_lane: jax.Array) -> jax.Array:
+def _unpack_groups(packed: jax.Array, b_lane: jax.Array,
+                   wmin: int = 1) -> jax.Array:
     """Inverse of :func:`_pack_groups`: group payload words (first b lanes
-    of each 8-lane group) -> spread fields at every lane."""
+    of each 8-lane group) -> spread fields at every lane.  ``wmin`` as in
+    :func:`_pack_groups` (the decode caller knows it exactly from the
+    widths header)."""
     lane8 = _iota(packed.shape, 1) % 8
     rot = {}
 
@@ -808,7 +874,7 @@ def _unpack_groups(packed: jax.Array, b_lane: jax.Array) -> jax.Array:
         return rot[d]
 
     out = jnp.zeros_like(packed)
-    for b in range(1, 9):
+    for b in range(wmin, 9):
         mask4b = jnp.uint32((1 << (4 * b)) - 1 if b < 8 else 0xFFFFFFFF)
         vb = jnp.zeros_like(packed)
         for k, j, shift in _unpack_terms(b):
@@ -820,7 +886,8 @@ def _unpack_groups(packed: jax.Array, b_lane: jax.Array) -> jax.Array:
     return out
 
 
-def _decode_kernel(R: int, grid: int, slots, oslots):
+def _decode_kernel(R: int, grid: int, slots, oslots, wmin: int = 1,
+                   route_nbits: int | None = None):
     HEADR = 8                  # 8-row (1024-slot) alignment headroom
     HEAD = HEADR * LANES
     W = R + 2 * HEADR          # window rows (DMA'd dense words)
@@ -829,8 +896,12 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
     # displacement is `8g − rem − egp(g) + HEAD` and egp(g) ≥ g (every
     # group emits ≥ 1 word), so |dist| ≤ 7·(G−1) + HEAD — far below the
     # workspace size, which is what lets R reach 256 within the 15-bit
-    # dist field (exp26).
+    # dist field (exp26).  ``route_nbits``: exact bound from the widths
+    # header — both networks' dists are ≤ HEAD + max(8g − egp(g)), which
+    # the host computes for free at decode time (round 4).
     nbits = (7 * (G - 1) + HEAD).bit_length()
+    if route_nbits is not None:
+        nbits = min(nbits, route_nbits)
 
     def kernel(woff_ref, nf_ref, lm_ref, rm_ref, fp_ref, bits_ref,
                dense_hbm, out_ref, win_a, win_b, ywin, sem_a, sem_b):
@@ -979,7 +1050,7 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
             packed = pay[HEADR:HEADR + R]
 
             # 4. unpack groups -> spread fields -> unspread -> bytes
-            f = _unpack_groups(packed, b_lane)
+            f = _unpack_groups(packed, b_lane, wmin)
             b = b_lane.astype(jnp.uint32)
             mask = (jnp.uint32(1) << b) - jnp.uint32(1)
             s1 = f >> b
@@ -998,11 +1069,14 @@ def _decode_kernel(R: int, grid: int, slots, oslots):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("tile_r", "odd_tiles"))
+@functools.partial(jax.jit, static_argnames=("tile_r", "odd_tiles",
+                                              "wmin", "route_nbits"))
 def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
                            woffs: jax.Array, n_frames: jax.Array,
                            tile_r: int | None = None,
-                           odd_tiles: bool = True) -> jax.Array:
+                           odd_tiles: bool = True,
+                           wmin: int = 1,
+                           route_nbits: int | None = None) -> jax.Array:
     """Dense FL decode: the container's packed stream (u32-word view,
     zero-padded) + per-frame widths -> decoded words, on device.
 
@@ -1011,6 +1085,10 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
     (4·Σb of prior frames — the decoder-side offset scan,
     ``/root/reference/src/fl/fl_gpu.cu:596-601``, done once on host).
     Returns u32[(rows,128)] decoded words (slice the byte view to n).
+
+    ``wmin``/``route_nbits``: EXACT stream plan from the widths header
+    (:func:`host_route_plan`) — unlike the encoder's speculative twin,
+    no flag is needed; a wrong plan here is a caller bug.
     """
     R = DENSE_DEC_TILE_R if tile_r is None else tile_r
     rows = bits2d.shape[0]
@@ -1027,7 +1105,8 @@ def fl_decode_dense_pallas(dense2d: jax.Array, bits2d: jax.Array,
         fpw, oslots = np.zeros((8, LANES), np.int32), None
 
     out = pl.pallas_call(
-        _decode_kernel(R, grid, slots, oslots),
+        _decode_kernel(R, grid, slots, oslots, wmin=wmin,
+                       route_nbits=route_nbits),
         grid=(grid,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.SMEM),
@@ -1347,3 +1426,88 @@ def host_probe_uniform_b(data: np.ndarray,
     if bool((b == fb).all()) and uniform_kernel_available(fb, R):
         return fb
     return None
+
+
+# ---------------------------------------------------------------------------
+# Stream plans for the general kernels (round 4): width floor + routing
+# round bound.  Exact from the widths header on decode; speculated from
+# the first tile (and verified by the kernel flag) on encode.
+# ---------------------------------------------------------------------------
+
+def _max_route_dist(widths: np.ndarray, R: int) -> int:
+    """max over R-row tiles of max_g (8g − egp(g)) — the general
+    networks' max routing distance for this widths sequence.  The
+    quantity is monotone in g within a tile (increments 8−w ≥ 0), so
+    the per-tile max sits at the last live group and is bounded above
+    by ``4·Σ_tile (8−w_f)`` (over the true max by at most 7 — the last
+    frame's own trailing groups) — one reshape-sum over the F-byte
+    header instead of a 4F-element scan."""
+    w = np.asarray(widths, np.int32)
+    if w.size == 0:
+        return 0
+    fpt = R * 4                          # frames per tile
+    grid = -(-w.size // fpt)
+    wp = np.full(grid * fpt, 8, np.int32)   # pad frames contribute 0
+    wp[:w.size] = w
+    per_tile = (8 - wp).reshape(grid, fpt).sum(axis=1, dtype=np.int64)
+    return int(per_tile.max()) * 4
+
+
+def host_route_plan(bits: np.ndarray, frames: int,
+                    enc_r: int | None = None,
+                    dec_r: int | None = None):
+    """``(wmin, enc_nbits, dec_nbits)`` plan from a widths header:
+    ``wmin`` is the narrowest real frame (pack/unpack variants below it
+    are dead code); ``enc_nbits`` bounds the encoder's compaction
+    distances (≤ maxd8); ``dec_nbits`` bounds the decoder's marker +
+    expansion distances (≤ maxd8 + the 1024-slot window headroom).
+    Cost: one cheap NumPy pass over the F-byte header (maxd8 uses the
+    per-tile-sum upper bound, ≤ 7 over the true maximum)."""
+    enc_r = DENSE_TILE_R if enc_r is None else enc_r
+    dec_r = DENSE_DEC_TILE_R if dec_r is None else dec_r
+    w = np.asarray(bits[:frames], np.uint8)
+    if w.size == 0:
+        return 1, None, None
+    wmin = int(w.min())
+    m_enc = _max_route_dist(w, enc_r)
+    m_dec = m_enc if dec_r == enc_r else _max_route_dist(w, dec_r)
+    return wmin, max(m_enc.bit_length(), 1), (m_dec + 1024).bit_length()
+
+
+# Quantization of speculative/exact plans: bounds the number of
+# compiled kernel variants (each (wmin, nbits) pair is its own Mosaic
+# program; the persistent compile cache amortizes across runs).
+_WMIN_CLASSES = (6, 4, 2, 1)
+_NBITS_CLASSES = (9, 11, 13, 15)
+
+
+def quantize_plan(wmin: int, nbits: int | None, full_nbits: int):
+    """Round ``wmin`` DOWN and ``nbits`` UP to the class grid; returns
+    (wmin_q, nbits_q_or_None) with nbits_q=None when not narrower than
+    ``full_nbits``."""
+    wq = next((c for c in _WMIN_CLASSES if c <= wmin), 1)
+    nq = None
+    if nbits is not None:
+        nq = next((c for c in _NBITS_CLASSES if c >= nbits), full_nbits)
+        if nq >= full_nbits:
+            nq = None
+    return wq, nq
+
+
+def host_probe_route_plan(data: np.ndarray, tile_r: int | None = None):
+    """SPECULATIVE encode plan from the FIRST general tile (the data is
+    in host memory; one ~R·512-byte NumPy pass): width floor = the
+    tile's narrowest frame, round bound = 2× the tile's max routing
+    distance (one bit of stationarity margin).  The encode kernel
+    verifies both per tile (its flag is authoritative) and the caller
+    re-runs the default kernel on a miss."""
+    R = DENSE_TILE_R if tile_r is None else tile_r
+    if data.size < R * 512:
+        return 1, None
+    fmax = np.asarray(data[: R * 512], np.uint8).reshape(-1, 128).max(1)
+    b = np.maximum(np.frexp(fmax.astype(np.float64))[1], 1).astype(
+        np.int32)
+    maxd8 = int((8 - b).sum()) * 4
+    full = (R * LANES - 1).bit_length()
+    return quantize_plan(int(b.min()),
+                         max((2 * maxd8).bit_length(), 1), full)

@@ -300,6 +300,19 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
                 if int(jax.device_get(flag)) == 0:
                     bits2d, dense = b2u, du.reshape(-1)
             if dense is None:
+                # general kernel with a SPECULATIVE stream plan (width
+                # floor + routing round bound from the first tile,
+                # chip A/B exp51: +12% pair on the reference BMP); the
+                # kernel's flag is authoritative — a miss re-runs the
+                # default (same contract as the uniform speculation)
+                wq, nq = fl_dense_pallas.host_probe_route_plan(buf)
+                if wq > 1 or nq is not None:
+                    b2s, ds, _, _, pflag = \
+                        fl_dense_pallas.fl_encode_dense_pallas(
+                            wordsj, nfj, wmin=wq, route_nbits=nq)
+                    if int(jax.device_get(pflag)) == 0:
+                        bits2d, dense = b2s, ds.reshape(-1)
+            if dense is None:
                 bits2d, dense, _, _ = \
                     fl_dense_pallas.fl_encode_dense_pallas(wordsj, nfj)
             krn += [bits2d, dense]
@@ -443,10 +456,17 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
             dwords = jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128))
             b2d = jnp.asarray(b2)
             h2d += [dwords, b2d]
+        # EXACT stream plan from the widths header (free at decode
+        # time): width floor + routing round bound, quantized to the
+        # compile-variant grid (chip A/B exp51: +12% pair on the BMP)
+        wmin, _, dnb = fl_dense_pallas.host_route_plan(bits, frames)
+        full_dec = (7 * (R * 16 - 1) + 1024).bit_length()
+        wq, nq = fl_dense_pallas.quantize_plan(wmin, dnb, full_dec)
         krn = []
         with stage("Decompression", n, result=krn):
             out = fl_dense_pallas.fl_decode_dense_pallas(
-                dwords, b2d, jnp.asarray(woffs), jnp.int32(frames))
+                dwords, b2d, jnp.asarray(woffs), jnp.int32(frames),
+                wmin=wq, route_nbits=nq)
             krn.append(out)
         with stage("Copy results to CPU", n):
             return np.ascontiguousarray(

@@ -328,23 +328,30 @@ def fl_compress_merged(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
     return fn(words2d, ns)
 
 
-def _fl_local_decode_dense(frame_length):
+def _fl_local_decode_dense(frame_length, wmin, route_nbits):
     def f(dense, bits2d, woffs, nframes):
         from ..ops import fl_dense_pallas
         out = fl_dense_pallas.fl_decode_dense_pallas(
-            dense[0], bits2d[0], woffs[0], nframes[0])
+            dense[0], bits2d[0], woffs[0], nframes[0],
+            wmin=wmin, route_nbits=route_nbits)
         return out[None]
     return f
 
 
 def fl_decompress_sharded_dense(mesh: Mesh, dense3d, bits3d, woffs2d,
-                                nframes, frame_length: int = FRAME_LENGTH):
+                                nframes, frame_length: int = FRAME_LENGTH,
+                                wmin: int = 1,
+                                route_nbits: int | None = None):
     """Per-shard DENSE decode: each chip unpacks its own compressed slice
-    (host does no unfold; host→device traffic is compressed bytes)."""
+    (host does no unfold; host→device traffic is compressed bytes).
+    ``wmin``/``route_nbits``: EXACT stream plan over ALL shards (min
+    width / max routing bound — the shard program is shared, so one
+    static plan serves every shard)."""
     fn = _cached(
-        ("fl_dec_dense", mesh, frame_length),
+        ("fl_dec_dense", mesh, frame_length, wmin, route_nbits),
         lambda: jax.jit(jax.shard_map(
-            _fl_local_decode_dense(frame_length), mesh=mesh,
+            _fl_local_decode_dense(frame_length, wmin, route_nbits),
+            mesh=mesh,
             in_specs=(P(AXIS, None, None), P(AXIS, None, None),
                       P(AXIS, None), P(AXIS)),
             out_specs=P(AXIS, None, None), check_vma=False)))
@@ -651,6 +658,7 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         nfr = np.zeros(n_dev, np.int32)
         fstart = 0
         voff = 0
+        wmin_all, dnb_all = 8, 0
         for i in range(n_dev):
             nf_i = _frames_of(plan, i, frame_length)
             bi = comp.bits[fstart:fstart + nf_i]
@@ -667,11 +675,22 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
             woffs2d[i] = np.concatenate(
                 [[0], np.cumsum(wper)[:-1]]).astype(np.int32)
             nfr[i] = nf_i
+            if nf_i:
+                wm_i, _, dnb_i = fl_dense_pallas.host_route_plan(
+                    bi, nf_i, enc_r=R, dec_r=R)
+                wmin_all = min(wmin_all, wm_i)
+                dnb_all = max(dnb_all, dnb_i)
             fstart += nf_i
             voff += vsz
+        # EXACT stream plan over all shards (exp51: +12% pair on the
+        # reference BMP), quantized to the compile-variant grid
+        wq, nq = fl_dense_pallas.quantize_plan(
+            wmin_all, dnb_all or None,
+            (7 * (R * 16 - 1) + 1024).bit_length())
         out = jax.device_get(fl_decompress_sharded_dense(
             mesh, jnp.asarray(dense3d), jnp.asarray(bits3d),
-            jnp.asarray(woffs2d), jnp.asarray(nfr), frame_length))
+            jnp.asarray(woffs2d), jnp.asarray(nfr), frame_length,
+            wmin=wq, route_nbits=nq))
         out_bytes = np.ascontiguousarray(
             np.asarray(out)).view(np.uint8).reshape(n_dev, -1)
         return np.concatenate(

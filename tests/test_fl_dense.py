@@ -626,3 +626,118 @@ def test_per_width_uniform_tile_dispatch(monkeypatch):
     out = fl_jax.decode(n, bits, values, bucket_frames=256)
     np.testing.assert_array_equal(out, data)
     assert calls and calls[0] == 32, calls
+
+
+# ---------------------------------------------------------------------------
+# Round-4 stream plans: width floor + routing round bound (wmin /
+# route_nbits), exact on decode, speculative-with-flag on encode.
+# ---------------------------------------------------------------------------
+
+def _mk_width_stream(rng, n, lo, hi):
+    """Random stream whose frame widths are uniform in [lo, hi]."""
+    npad = -(-n // (R * 512)) * (R * 512)
+    data = np.zeros(npad, np.uint8)
+    nfr = -(-n // 128)
+    wf = rng.integers(lo, hi + 1, nfr)
+    m2 = data[: nfr * 128].reshape(nfr, 128)
+    m2[:] = rng.integers(0, 256, m2.shape)
+    m2 &= ((1 << wf) - 1).astype(np.uint8)[:, None]
+    m2[:, 0] = (1 << (wf - 1)).astype(np.uint8)
+    data[n:] = 0
+    return data, npad, nfr
+
+
+def test_route_plan_covers_brute_force():
+    """host_route_plan's per-tile-sum bound covers the brute-force
+    per-group exclusive-prefix maximum, within its documented ≤7
+    slack."""
+    rng = np.random.default_rng(3)
+    for frames in (1, 7, R * 4, R * 4 * 3 + 5):
+        bits = rng.integers(1, 9, frames).astype(np.uint8)
+        wmin, enb, dnb = fl_dense_pallas.host_route_plan(
+            bits, frames, enc_r=R, dec_r=R)
+        G = R * 16
+        wg = np.repeat(bits.astype(np.int64), 4)
+        grid = -(-wg.size // G)
+        wp = np.full(grid * G, 8, np.int64)
+        wp[: wg.size] = wg
+        a = (8 - wp).reshape(grid, G)
+        excl = np.cumsum(a, axis=1) - a
+        maxd8 = int(excl.max())
+        bound = fl_dense_pallas._max_route_dist(bits, R)
+        assert maxd8 <= bound <= maxd8 + 7
+        assert wmin == int(bits.min())
+        assert enb == max(bound.bit_length(), 1)
+        assert dnb == (bound + 1024).bit_length()
+
+
+def test_quantize_plan_and_probe():
+    q = fl_dense_pallas.quantize_plan
+    assert q(5, 12, 15) == (4, 13)
+    assert q(7, 9, 15) == (6, 9)
+    assert q(1, 15, 15) == (1, None)    # not narrower -> None
+    assert q(3, 14, 15) == (2, None)    # 14 rounds up to 15 -> None
+    # probe: a first tile of widths >= 4 speculates a narrower plan
+    rng = np.random.default_rng(9)
+    data, _, _ = _mk_width_stream(rng, R * 512 * 2, 6, 8)
+    wq, nq = fl_dense_pallas.host_probe_route_plan(data, tile_r=R)
+    assert wq >= 4 and (nq is None or nq < (R * 128 - 1).bit_length())
+    # too-small input -> no plan
+    assert fl_dense_pallas.host_probe_route_plan(
+        data[: R * 512 - 1], tile_r=R) == (1, None)
+
+
+def test_route_plan_spec_roundtrip_bit_exact():
+    """Planned encode (wmin + route_nbits) emits the exact golden bytes
+    with a zero flag, and the planned decode round-trips."""
+    rng = np.random.default_rng(4)
+    n = R * 512 * 5 + 300
+    data, npad, nfr = _mk_width_stream(rng, n, 4, 8)
+    bg, vg = fl_numpy.encode(data[:n])
+    wmin, enb, dnb = fl_dense_pallas.host_route_plan(
+        bg, nfr, enc_r=R, dec_r=R)
+    assert wmin == 4 and enb < (R * 128 - 1).bit_length()
+    w = jnp.asarray(data.view(np.uint32))
+    nf = jnp.int32(nfr)
+    b2, dense, total, woffs, flag = fl_dense_pallas.fl_encode_dense_pallas(
+        w, nf, tile_r=R, wmin=wmin, route_nbits=enb)
+    assert int(flag) == 0
+    np.testing.assert_array_equal(
+        np.asarray(dense).view(np.uint8)[: vg.size], vg)
+    out = fl_dense_pallas.fl_decode_dense_pallas(
+        dense.reshape(-1, 128), b2, woffs, nf, tile_r=R,
+        wmin=wmin, route_nbits=dnb)
+    np.testing.assert_array_equal(
+        np.asarray(out).reshape(-1).view(np.uint8)[:n], data[:n])
+
+
+def test_route_plan_flag_on_violation():
+    """A later tile narrower than the speculated floor — or routing
+    distances past the speculated bound — must raise the flag."""
+    rng = np.random.default_rng(5)
+    n = R * 512 * 4
+    data, npad, nfr = _mk_width_stream(rng, n, 5, 8)
+    # width violation in the LAST tile
+    data2 = data.copy()
+    f = nfr - 3
+    data2[f * 128:(f + 1) * 128] = 1
+    w2 = jnp.asarray(data2.view(np.uint32))
+    outs = fl_dense_pallas.fl_encode_dense_pallas(
+        w2, jnp.int32(nfr), tile_r=R, wmin=5, route_nbits=None)
+    assert len(outs) == 5 and int(outs[4]) == 1
+    # distance violation: MIXED narrow widths (tiles non-uniform, so the
+    # general network runs) under a 3-bit round budget.  An all-w1
+    # stream would NOT flag: uniform tiles take the static fast branch,
+    # which routes nothing — the plan is only about the general network.
+    data3, _, _ = _mk_width_stream(np.random.default_rng(6), n, 1, 2)
+    outs = fl_dense_pallas.fl_encode_dense_pallas(
+        jnp.asarray(data3.view(np.uint32)), jnp.int32(nfr), tile_r=R,
+        wmin=1, route_nbits=3)
+    assert len(outs) == 5 and int(outs[4]) == 1
+    # a plan that is NOT narrower than the default returns the plain
+    # 4-tuple (the caller gates on narrowness)
+    full = (R * 128 - 1).bit_length()
+    outs = fl_dense_pallas.fl_encode_dense_pallas(
+        jnp.asarray(data3.view(np.uint32)), jnp.int32(nfr), tile_r=R,
+        wmin=1, route_nbits=full)
+    assert len(outs) == 4
