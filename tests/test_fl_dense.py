@@ -337,6 +337,25 @@ def test_host_dispatch_through_fl_jax(monkeypatch):
         # the flag; probe requires a full first tile)
         "w4-tail": g.integers(0, 16, tile * 2 + 301).astype(np.uint8),
     }
+
+    def _widths_stream(lo, hi, nbytes):
+        d = g.integers(0, 256, nbytes).astype(np.uint8)
+        nfr = nbytes // 128
+        wf = g.integers(lo, hi + 1, nfr)
+        m2 = d[: nfr * 128].reshape(nfr, 128)
+        m2 &= ((1 << wf) - 1).astype(np.uint8)[:, None]
+        m2[:, 0] = (1 << (wf - 1)).astype(np.uint8)
+        return d
+
+    # round-4b stream plans through the general kernel: per-frame mixed
+    # widths 4..8 -> host_probe_route_plan speculates (wmin 4, fewer
+    # routing rounds), verified by the kernel flag
+    cases["plan-46"] = _widths_stream(4, 8, tile * 3)
+    # plan speculation MISS: wide first tiles, then a width-1 frame —
+    # the flag fires and the default general kernel re-runs
+    pm = _widths_stream(5, 8, tile * 3)
+    pm[tile * 2 + 128: tile * 2 + 256] = 1
+    cases["plan-miss"] = pm
     for name, data in cases.items():
         bits, values = fl_jax.encode(data, bucket_frames=32)
         bg, vg = fl_numpy.encode(data)
