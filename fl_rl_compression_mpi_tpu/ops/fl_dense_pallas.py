@@ -1429,6 +1429,194 @@ def host_probe_uniform_b(data: np.ndarray,
 
 
 # ---------------------------------------------------------------------------
+# CONSTANT-stream fast path (round 4b).  All-zero (and generally
+# constant-byte) streams are the dominant real-world low-entropy class
+# — zero pages, sparse tensors — and the RL codec already branch-skips
+# its whole pipeline for them (exp36/exp49, 4× on zeros).  The FL dense
+# analog: when every byte is one constant c with width fb ∈ {1,2,4,8},
+# every payload word is the SAME 32-bit pattern (c's fb bits repeated
+# 32/fb times), so encode is read-verify-emit-constant and decode is
+# verify-broadcast — no spread, no pack, no placement rounds at all.
+# Dispatch follows the uniform-speculation contract: a free host probe
+# picks the candidate, the kernel verifies EVERY real word and raises
+# a flag, and a miss falls back to the uniform/general chain.
+# Validity: c == 0 always (zero padding keeps tail frames exact), or
+# n % 128 == 0 (no partial tail frame whose last payload word would
+# mix c-bits with pad zeros).
+# ---------------------------------------------------------------------------
+
+
+def const_payload_word(cbyte: int, fb: int) -> int:
+    """The 32-bit payload pattern of a constant-``cbyte`` stream at
+    width ``fb`` (fb | 8): c's low fb bits repeated 32/fb times."""
+    assert fb in FAST_BS
+    w = 0
+    for i in range(32 // fb):
+        w |= (cbyte & ((1 << fb) - 1)) << (fb * i)
+    return w
+
+
+def _const_enc_kernel(fb: int, R: int, cbyte: int):
+    Kr = fb * R // 8
+    cword = cbyte * 0x01010101
+    pword = const_payload_word(cbyte, fb)
+
+    def kernel(nf_ref, w_ref, bits_ref, out_ref, flag_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            flag_ref[0] = 0
+
+        w = w_ref[...]
+        gword = i * R * LANES + flat_idx(R)
+        real = gword < nf_ref[0] * 32
+        bad = jnp.any((w != jnp.uint32(cword & 0xFFFFFFFF)) & real)
+        flag_ref[0] = flag_ref[0] | bad.astype(jnp.int32)
+        bits_ref[...] = jnp.full((R, 4), fb, jnp.uint8)
+        out_ref[...] = jnp.full((Kr, LANES), pword & 0xFFFFFFFF,
+                                jnp.uint32)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cbyte", "fb", "tile_r"))
+def fl_encode_dense_constant_pallas(words: jax.Array, n_frames: jax.Array,
+                                    cbyte: int, fb: int,
+                                    tile_r: int | None = None):
+    """Speculative constant-stream dense encode: assumes EVERY real byte
+    equals ``cbyte`` (verified; nonzero ``flag`` means ``dense`` AND
+    ``bits2d`` are junk — re-run the uniform/general chain).  Caller
+    guarantees ``cbyte == 0 or n % 128 == 0`` (see the section note) and
+    ``fb = max(1, cbyte.bit_length()) ∈ {1,2,4,8}``."""
+    R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
+    assert fb in FAST_BS and fb == max(1, int(cbyte).bit_length())
+    nw = words.shape[0]
+    assert nw % (R * LANES) == 0
+    grid = nw // (R * LANES)
+    Kr = fb * R // 8
+    rows = nw // LANES
+    bits2d, dense, flag = pl.pallas_call(
+        _const_enc_kernel(fb, R, int(cbyte)),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, 4), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Kr, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows, 4), jnp.uint8),
+            jax.ShapeDtypeStruct((rows + _dense_pad_rows(R), LANES),
+                                 jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(jnp.asarray(n_frames, jnp.int32).reshape(1),
+      words.reshape(rows, LANES))
+    return bits2d, dense, flag[0]
+
+
+def _const_dec_kernel(fb: int, R: int, cbyte: int):
+    Kr = fb * R // 8
+    cword = cbyte * 0x01010101
+    pword = const_payload_word(cbyte, fb)
+
+    def kernel(nv_ref, d_ref, out_ref, flag_ref):
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            flag_ref[0] = 0
+
+        d = d_ref[...]
+        gword = i * Kr * LANES + flat_idx(Kr)
+        vq = nv_ref[0] >> 2               # whole payload words
+        rem = nv_ref[0] & 3               # real bytes of the tail word
+        # byte-granular compare mask: full words, then the straddling
+        # tail word's low `rem` bytes (its pad bytes are buffer zeros)
+        tailm = (jnp.uint32(1) << (8 * rem).astype(jnp.uint32)
+                 ) - jnp.uint32(1)
+        mask = jnp.where(gword < vq, jnp.uint32(0xFFFFFFFF),
+                         jnp.where(gword == vq, tailm, jnp.uint32(0)))
+        bad = jnp.any(((d ^ jnp.uint32(pword & 0xFFFFFFFF)) & mask)
+                      != jnp.uint32(0))
+        flag_ref[0] = flag_ref[0] | bad.astype(jnp.int32)
+        out_ref[...] = jnp.full((R, LANES), cword & 0xFFFFFFFF,
+                                jnp.uint32)
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("cbyte", "fb", "rows_out",
+                                              "tile_r"))
+def fl_decode_dense_constant_pallas(dense2d: jax.Array, values_size,
+                                    cbyte: int, fb: int, rows_out: int,
+                                    tile_r: int | None = None):
+    """Speculative constant-stream dense decode: verifies the exact
+    ``values_size`` payload BYTES (byte-masked straddling tail word —
+    its pad bytes are buffer zeros) equal the constant pattern and
+    broadcasts ``cbyte``.  Returns ``(out u32[rows_out,128], flag)``;
+    nonzero flag → re-run the uniform/general decode."""
+    R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
+    assert fb in FAST_BS and fb == max(1, int(cbyte).bit_length())
+    assert rows_out % R == 0
+    grid = rows_out // R
+    Kr = fb * R // 8
+    need = grid * Kr
+    assert dense2d.shape[0] >= need
+    src = dense2d[:need] if dense2d.shape[0] % Kr else dense2d
+    out, flag = pl.pallas_call(
+        _const_dec_kernel(fb, R, int(cbyte)),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec((Kr, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((rows_out, LANES), jnp.uint32),
+            jax.ShapeDtypeStruct((1,), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=_interpret(),
+    )(jnp.asarray(values_size, jnp.int32).reshape(1), src)
+    return out, flag[0]
+
+
+def host_probe_constant(data: np.ndarray, n: int,
+                        tile_r: int | None = None):
+    """Host probe for the constant fast path: returns ``(cbyte, fb)``
+    when the FIRST tile is one constant byte whose width is a fast
+    power of two AND the validity rule holds (c == 0, or no partial
+    tail frame), else None.  The device flag remains authoritative for
+    the rest of the stream."""
+    R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
+    if data.size < R * 512 or n <= 0:
+        return None
+    head = np.asarray(data[: R * 512], np.uint8)
+    c = int(head[0])
+    if not bool((head == c).all()):
+        return None
+    fb = max(1, c.bit_length())
+    if fb not in FAST_BS or not (c == 0 or n % 128 == 0):
+        return None
+    return c, fb
+
+
+# ---------------------------------------------------------------------------
 # Stream plans for the general kernels (round 4): width floor + routing
 # round bound.  Exact from the widths header on decode; speculated from
 # the first tile (and verified by the kernel flag) on encode.

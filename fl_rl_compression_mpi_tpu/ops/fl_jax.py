@@ -293,7 +293,23 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         dense = None
         krn = []
         with stage("Compression", n, result=krn):
-            if fbp is not None:
+            # constant-stream fast path (round 4b): all-zero / single
+            # constant byte streams skip spread/pack/placement entirely
+            # — read-verify-emit at DMA-class rate; the flag falls back
+            # to the uniform/general chain.  (Gate on the BASE uniform
+            # tile, not the per-width upgraded Ru.)
+            Rb = fl_dense_pallas.DENSE_UNIFORM_TILE_R
+            cprob = (fl_dense_pallas.host_probe_constant(buf, n, Rb)
+                     if npad % (Rb * 512) == 0 else None)
+            if cprob is not None:
+                cb, fbc = cprob
+                Rc = 2048 if (npad // 512) % 2048 == 0 else Rb
+                b2c, dc, cfl = \
+                    fl_dense_pallas.fl_encode_dense_constant_pallas(
+                        wordsj, nfj, cb, fbc, tile_r=Rc)
+                if int(jax.device_get(cfl)) == 0:
+                    bits2d, dense = b2c, dc.reshape(-1)
+            if dense is None and fbp is not None:
                 b2u, du, flag = \
                     fl_dense_pallas.fl_encode_dense_uniform_pallas(
                         wordsj, nfj, fbp, tile_r=Ru)
@@ -438,8 +454,27 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
                 h2d.append(dwords)
             krn = []
             with stage("Decompression", n, result=krn):
-                out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
-                    dwords, fbu, rows, tile_r=Ru)
+                out = None
+                # constant-stream fast path (round 4b): uniform widths
+                # + constant payload prefix → verify-and-broadcast; the
+                # device flag falls back to the single-width kernel
+                cb = int(values[0]) & ((1 << fbu) - 1)
+                if (fbu in fl_dense_pallas.FAST_BS
+                        and max(1, cb.bit_length()) == fbu
+                        and (cb == 0 or n % 128 == 0)):
+                    pb = (fl_dense_pallas.const_payload_word(cb, fbu)
+                          & 0xFF)
+                    if bool((values[: min(values.size, Kr * 512)]
+                             == pb).all()):
+                        oc, cfl = fl_dense_pallas.\
+                            fl_decode_dense_constant_pallas(
+                                dwords, values.size, cb, fbu, rows,
+                                tile_r=Ru)
+                        if int(jax.device_get(cfl)) == 0:
+                            out = oc
+                if out is None:
+                    out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+                        dwords, fbu, rows, tile_r=Ru)
                 krn.append(out)
             with stage("Copy results to CPU", n):
                 return np.ascontiguousarray(

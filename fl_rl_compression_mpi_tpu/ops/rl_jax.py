@@ -162,6 +162,20 @@ def _pad(n: int, bucket: int) -> int:
     return max(bucket, -(-n // bucket) * bucket)
 
 
+def _constant_byte(data: np.ndarray) -> int | None:
+    """Cheap two-stage constant-stream check: probe the first 128 KiB,
+    then (only on a probe hit) verify the rest with one host pass —
+    non-constant streams pay ~128 KiB, constant streams pay one compare
+    instead of the whole device round trip."""
+    c = int(data[0])
+    probe = min(data.size, 128 << 10)
+    if not bool((data[:probe] == c).all()):
+        return None
+    if data.size > probe and not bool((data[probe:] == c).all()):
+        return None
+    return c
+
+
 def encode(data: np.ndarray, bucket: int = 1 << 20):
     """NumPy in → exact (counts u8[R], values u8[R]) out (host API mirroring
     `rl_numpy.encode`)."""
@@ -169,6 +183,19 @@ def encode(data: np.ndarray, bucket: int = 1 << 20):
     n = data.size
     if n == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    # Whole-stream CONSTANT fast path (round 4b): the RL container of a
+    # constant stream is closed-form — ceil(n/255) runs of 255 (tail
+    # remainder) of one value (spec semantics:
+    # /root/reference/IMPLEMENTATION-PLAN.md:125-148, pinned by the
+    # rl_numpy golden) — so one host verify pass replaces the whole
+    # H2D + kernel + D2H round trip.  The verify is exact, not
+    # speculative: no miss path exists.
+    c = _constant_byte(data)
+    if c is not None:
+        runs = -(-n // 255)
+        counts = np.full(runs, 255, np.uint8)
+        counts[-1] = n - 255 * (runs - 1)
+        return counts, np.full(runs, c, np.uint8)
     npad = _pad(n, bucket)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
@@ -200,6 +227,12 @@ def decode(counts: np.ndarray, values: np.ndarray,
     if r == 0:
         return np.zeros(0, np.uint8)
     n = int(counts.astype(np.int64).sum())
+    # Constant-container fast path (round 4b): the canonical constant
+    # stream container (all counts 255 but the tail, one value) decodes
+    # to a host memset — the check reads only the ~n/255-byte container.
+    if (bool((values == values[0]).all())
+            and bool((counts[:-1] == 255).all())):
+        return np.full(n, values[0], np.uint8)
     rpad = _pad(r, bucket)
     cbuf = np.zeros(rpad, np.uint8)
     cbuf[:r] = counts

@@ -760,3 +760,110 @@ def test_route_plan_flag_on_violation():
         jnp.asarray(data3.view(np.uint32)), jnp.int32(nfr), tile_r=R,
         wmin=1, route_nbits=full)
     assert len(outs) == 4
+
+
+# ---------------------------------------------------------------------------
+# Round-4b constant-stream fast path (verify-and-broadcast kernels).
+# ---------------------------------------------------------------------------
+
+def test_constant_kernels_roundtrip_and_golden():
+    for c, nbytes in ((0, R * 512 * 3 + 301),   # zeros: tail allowed
+                      (3, R * 512 * 2),          # c=3 (w2), full frames
+                      (9, R * 512 * 2)):         # c=9 (w4), full frames
+        fb = max(1, c.bit_length())
+        npad = -(-nbytes // (R * 512)) * (R * 512)
+        data = np.full(npad, c, np.uint8)
+        data[nbytes:] = 0
+        nfr = -(-nbytes // 128)
+        bg, vg = fl_numpy.encode(data[:nbytes])
+        w = jnp.asarray(data.view(np.uint32))
+        b2, dense, flag = fl_dense_pallas.fl_encode_dense_constant_pallas(
+            w, jnp.int32(nfr), c, fb, tile_r=R)
+        assert int(flag) == 0, (c, nbytes)
+        np.testing.assert_array_equal(
+            np.asarray(b2).reshape(-1)[:nfr], bg)
+        np.testing.assert_array_equal(
+            np.ascontiguousarray(np.asarray(dense)).reshape(-1).view(
+                np.uint8)[: vg.size], vg)
+        out, dfl = fl_dense_pallas.fl_decode_dense_constant_pallas(
+            dense, vg.size, c, fb, npad // 512, tile_r=R)
+        assert int(dfl) == 0
+        np.testing.assert_array_equal(
+            np.asarray(out).reshape(-1).view(np.uint8)[:nbytes],
+            data[:nbytes])
+
+
+def test_constant_flags_fire():
+    nbytes = R * 512 * 3
+    data = np.full(nbytes, 3, np.uint8)
+    nfr = nbytes // 128
+    # encode: a later tile differs
+    d2 = data.copy()
+    d2[-70] = 2
+    _, _, flag = fl_dense_pallas.fl_encode_dense_constant_pallas(
+        jnp.asarray(d2.view(np.uint32)), jnp.int32(nfr), 3, 2, tile_r=R)
+    assert int(flag) == 1
+    # decode: the LAST payload byte differs (straddling-word byte mask
+    # must catch it — same width class, so the widths header is still
+    # uniform and the host prefix probe passes)
+    bits, values = fl_numpy.encode(d2)
+    assert (bits == 2).all()
+    Kr = 2 * R // 8
+    need = -(-(-(-values.size // 4)) // (Kr * 128)) * Kr
+    dbuf = np.zeros(need * 512, np.uint8)
+    dbuf[: values.size] = values
+    rows = nbytes // 512
+    out, dfl = fl_dense_pallas.fl_decode_dense_constant_pallas(
+        jnp.asarray(dbuf.view(np.uint32).reshape(need, 128)),
+        values.size, 3, 2, rows, tile_r=R)
+    assert int(dfl) == 1
+
+
+def test_host_probe_constant():
+    probe = fl_dense_pallas.host_probe_constant
+    z = np.zeros(R * 512 * 2, np.uint8)
+    assert probe(z, z.size - 37, tile_r=R) == (0, 1)    # tail ok for 0
+    c3 = np.full(R * 512 * 2, 3, np.uint8)
+    assert probe(c3, c3.size, tile_r=R) == (3, 2)
+    # nonzero constant with a partial tail frame: not speculable
+    assert probe(c3, c3.size - 37, tile_r=R) is None
+    # width not a fast power of two (c=5 -> w3): not speculable
+    c5 = np.full(R * 512 * 2, 5, np.uint8)
+    assert probe(c5, c5.size, tile_r=R) is None
+    # non-constant first tile
+    m = c3.copy(); m[10] = 1
+    assert probe(m, m.size, tile_r=R) is None
+
+
+def test_constant_dispatch_through_fl_jax(monkeypatch):
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 8)
+    monkeypatch.setattr(fl_jax, "_use_dense",
+                        lambda L, nw: L == 128 and nw % 1024 == 0)
+    monkeypatch.setattr(fl_jax, "_use_dense_dec", fl_jax._use_dense)
+
+    tile = 8 * 512
+    cases = {
+        "zeros-tail": np.zeros(tile * 3 + 301, np.uint8),
+        "c3-full": np.full(tile * 2, 3, np.uint8),
+        "c9-full": np.full(tile * 3, 9, np.uint8),
+        # constant first tile, mismatch later: encode flag -> uniform
+        # fallback (same width class keeps the stream w2-uniform)
+        "c3-then-2": np.concatenate([
+            np.full(tile * 2, 3, np.uint8),
+            np.full(tile, 2, np.uint8)]),
+        # last byte differs: the decode straddling-word check must
+        # reject the constant decode and the uniform kernel must serve
+        "c3-lastbyte": np.concatenate([
+            np.full(tile * 2 - 1, 3, np.uint8), [np.uint8(2)]]),
+    }
+    for name, data in cases.items():
+        bits, values = fl_jax.encode(data, bucket_frames=32)
+        bg, vg = fl_numpy.encode(data)
+        np.testing.assert_array_equal(bits, bg, err_msg=name)
+        np.testing.assert_array_equal(values, vg, err_msg=name)
+        out = fl_jax.decode(data.size, bits, values, bucket_frames=32)
+        np.testing.assert_array_equal(out, data, err_msg=name)
