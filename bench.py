@@ -443,10 +443,13 @@ def main() -> int:
                         hbytes, n)
                     if cprob is not None:
                         cb, fbc = cprob
+                        rc = (2048 if (npad // 512) % 2048 == 0
+                              else fl_dense_pallas.
+                              DENSE_UNIFORM_TILE_R)
                         _, _, cfl = fl_dense_pallas.\
                             fl_encode_dense_constant_pallas(
                                 jnp.asarray(hbytes.view(np.uint32)),
-                                nf, cb, fbc)
+                                nf, cb, fbc, tile_r=rc)
                         if int(jax.device_get(cfl)) == 0:
                             counts = np.minimum(
                                 n - np.arange(wid.size,
@@ -454,9 +457,6 @@ def main() -> int:
                                 128)
                             vsz = int(((wid.astype(np.int64) * counts
                                         + 7) // 8).sum())
-                            rc = (2048 if (npad // 512) % 2048 == 0
-                                  else fl_dense_pallas.
-                                  DENSE_UNIFORM_TILE_R)
                             chain = dense_const_chain(cb, fbc, rc, vsz)
                             extra[f"dense_path{tag}"] = \
                                 f"constant-w{fbc}"

@@ -457,9 +457,13 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
                 out = None
                 # constant-stream fast path (round 4b): uniform widths
                 # + constant payload prefix → verify-and-broadcast; the
-                # device flag falls back to the single-width kernel
-                cb = int(values[0]) & ((1 << fbu) - 1)
-                if (fbu in fl_dense_pallas.FAST_BS
+                # device flag falls back to the single-width kernel.
+                # (values may be EMPTY on a corrupt container — the
+                # guard keeps the graceful-garbage behavior of the
+                # kernel path instead of crashing.)
+                cb = (int(values[0]) & ((1 << fbu) - 1)
+                      if values.size else -1)
+                if (values.size and fbu in fl_dense_pallas.FAST_BS
                         and max(1, cb.bit_length()) == fbu
                         and (cb == 0 or n % 128 == 0)):
                     pb = (fl_dense_pallas.const_payload_word(cb, fbu)

@@ -192,10 +192,12 @@ def encode(data: np.ndarray, bucket: int = 1 << 20):
     # speculative: no miss path exists.
     c = _constant_byte(data)
     if c is not None:
-        runs = -(-n // 255)
-        counts = np.full(runs, 255, np.uint8)
-        counts[-1] = n - 255 * (runs - 1)
-        return counts, np.full(runs, c, np.uint8)
+        from ..utils.timers import stage
+        with stage("Compression", n):      # --timers stage parity
+            runs = -(-n // 255)
+            counts = np.full(runs, 255, np.uint8)
+            counts[-1] = n - 255 * (runs - 1)
+            return counts, np.full(runs, c, np.uint8)
     npad = _pad(n, bucket)
     buf = np.zeros(npad, np.uint8)
     buf[:n] = data
@@ -232,7 +234,9 @@ def decode(counts: np.ndarray, values: np.ndarray,
     # to a host memset — the check reads only the ~n/255-byte container.
     if (bool((values == values[0]).all())
             and bool((counts[:-1] == 255).all())):
-        return np.full(n, values[0], np.uint8)
+        from ..utils.timers import stage
+        with stage("Decompression", n):    # --timers stage parity
+            return np.full(n, values[0], np.uint8)
     rpad = _pad(r, bucket)
     cbuf = np.zeros(rpad, np.uint8)
     cbuf[:r] = counts
