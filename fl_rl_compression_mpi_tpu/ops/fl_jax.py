@@ -244,6 +244,48 @@ def decode_fields_device(fields: jax.Array, bits: jax.Array, n: jax.Array,
     return fl_decode_fields(fields, bits, n, frame_length=frame_length)
 
 
+def _host_constant_byte(data: np.ndarray) -> int | None:
+    """Two-stage constant-stream check (cheap 128 KiB probe, then one
+    exact host pass only on a probe hit)."""
+    c = int(data[0])
+    probe = min(data.size, 128 << 10)
+    if not bool((data[:probe] == c).all()):
+        return None
+    if data.size > probe and not bool((data[probe:] == c).all()):
+        return None
+    return c
+
+
+def _constant_frame_pattern(c: int, fb: int,
+                            frame_length: int) -> np.ndarray:
+    """One full frame's packed payload for a constant byte ``c`` at
+    width ``fb``: the LSB-first repetition of c's fb bits over
+    frame_length·fb bits — a byte cycle of period fb (frames restart
+    the phase, so every full frame is this same block)."""
+    nbytes = frame_length * fb // 8
+    cbits = np.array([(c >> k) & 1 for k in range(fb)], np.uint8)
+    stream = np.tile(cbits, nbytes * 8 // fb)
+    return np.packbits(stream, bitorder="little")  # LSB-first per byte
+
+
+def _constant_container(c: int, n: int, frame_length: int):
+    """Closed-form FL container of ``n`` bytes of constant ``c``
+    (any width 1..8, any tail): widths all fb; payload = the per-frame
+    byte cycle, with the tail frame truncated to ceil(counts·fb/8)
+    bytes and its last partial byte masked."""
+    fb = max(1, int(c).bit_length())
+    frames = -(-n // frame_length)
+    bits = np.full(frames, fb, np.uint8)
+    pat = _constant_frame_pattern(c, fb, frame_length)
+    tail_count = n - (frames - 1) * frame_length
+    tail_bits = tail_count * fb
+    tail_len = -(-tail_bits // 8)
+    values = np.tile(pat, frames)[: (frames - 1) * pat.size + tail_len]
+    if tail_bits % 8:
+        values[-1] &= (1 << (tail_bits % 8)) - 1
+    return bits, values
+
+
 def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192):
     """NumPy in → (bits u8[F], values u8[V]) out, exact sizes, bit-exact
@@ -254,6 +296,17 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     n = data.size
     if n == 0:
         return np.zeros(0, np.uint8), np.zeros(0, np.uint8)
+    # Whole-stream CONSTANT fast path (round 4b): the FL container of a
+    # constant stream is closed-form for EVERY width (the payload is a
+    # per-frame byte cycle), so one exact host verify pass replaces the
+    # whole H2D + kernel + D2H round trip — on the host API this
+    # dominates even the device constant kernels (which remain the
+    # device-resident production path: bench chains, device pipelines).
+    c = _host_constant_byte(data)
+    if c is not None:
+        from ..utils.timers import stage
+        with stage("Compression", n):      # --timers stage parity
+            return _constant_container(c, n, frame_length)
     cap = _device_cap(frame_length)
     if n > cap:
         bits_parts, values_parts = [], []
@@ -293,23 +346,12 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         dense = None
         krn = []
         with stage("Compression", n, result=krn):
-            # constant-stream fast path (round 4b): all-zero / single
-            # constant byte streams skip spread/pack/placement entirely
-            # — read-verify-emit at DMA-class rate; the flag falls back
-            # to the uniform/general chain.  (Gate on the BASE uniform
-            # tile, not the per-width upgraded Ru.)
-            Rb = fl_dense_pallas.DENSE_UNIFORM_TILE_R
-            cprob = (fl_dense_pallas.host_probe_constant(buf, n, Rb)
-                     if npad % (Rb * 512) == 0 else None)
-            if cprob is not None:
-                cb, fbc = cprob
-                Rc = 2048 if (npad // 512) % 2048 == 0 else Rb
-                b2c, dc, cfl = \
-                    fl_dense_pallas.fl_encode_dense_constant_pallas(
-                        wordsj, nfj, cb, fbc, tile_r=Rc)
-                if int(jax.device_get(cfl)) == 0:
-                    bits2d, dense = b2c, dc.reshape(-1)
-            if dense is None and fbp is not None:
+            # (Whole-stream constant inputs never reach here: the host
+            # closed-form path at the top of encode() is exact.  The
+            # device constant kernels — fl_encode_dense_constant_pallas
+            # — remain the device-resident API for on-chip pipelines
+            # and the bench chains.)
+            if fbp is not None:
                 b2u, du, flag = \
                     fl_dense_pallas.fl_encode_dense_uniform_pallas(
                         wordsj, nfj, fbp, tile_r=Ru)
@@ -398,6 +440,28 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         raise ValueError(
             "fl decode: corrupt container (bits array shorter than "
             f"frame count: {bits.size} < {frames})")
+    # Host constant-container fast path (round 4b): uniform widths +
+    # the exact closed-form payload ⇒ the output is one memset.  Cheap
+    # prefix probe first; the full compare (one host pass over the
+    # compressed bytes) runs only on a probe hit and is exact — a
+    # mismatch falls through to the device paths.
+    ba = bits[:frames]
+    if frames and values.size and bool((ba == ba[0]).all()):
+        fbu = int(ba[0])
+        c = int(values[0]) & ((1 << fbu) - 1)
+        if max(1, c.bit_length()) == fbu:
+            # prefix probe against the repeating frame pattern (valid
+            # strictly before the last byte — only the tail frame's
+            # final byte is masked), THEN the exact full compare
+            pat = _constant_frame_pattern(c, fbu, frame_length)
+            probe = min(values.size - 1, 128 << 10)
+            pre = np.tile(pat, -(-probe // pat.size) + 1)[:probe]
+            if bool((values[:probe] == pre).all()):
+                _, ev = _constant_container(c, n, frame_length)
+                if values.size == ev.size and bool((values == ev).all()):
+                    from ..utils.timers import stage
+                    with stage("Decompression", n):  # --timers parity
+                        return np.full(n, c, np.uint8)
     cap = _device_cap(frame_length)
     if n > cap:
         # per-chunk value offsets from the widths header (the same
@@ -454,31 +518,10 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
                 h2d.append(dwords)
             krn = []
             with stage("Decompression", n, result=krn):
-                out = None
-                # constant-stream fast path (round 4b): uniform widths
-                # + constant payload prefix → verify-and-broadcast; the
-                # device flag falls back to the single-width kernel.
-                # (values may be EMPTY on a corrupt container — the
-                # guard keeps the graceful-garbage behavior of the
-                # kernel path instead of crashing.)
-                cb = (int(values[0]) & ((1 << fbu) - 1)
-                      if values.size else -1)
-                if (values.size and fbu in fl_dense_pallas.FAST_BS
-                        and max(1, cb.bit_length()) == fbu
-                        and (cb == 0 or n % 128 == 0)):
-                    pb = (fl_dense_pallas.const_payload_word(cb, fbu)
-                          & 0xFF)
-                    if bool((values[: min(values.size, Kr * 512)]
-                             == pb).all()):
-                        oc, cfl = fl_dense_pallas.\
-                            fl_decode_dense_constant_pallas(
-                                dwords, values.size, cb, fbu, rows,
-                                tile_r=Ru)
-                        if int(jax.device_get(cfl)) == 0:
-                            out = oc
-                if out is None:
-                    out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
-                        dwords, fbu, rows, tile_r=Ru)
+                # (constant containers never reach here — the host
+                # closed-form check at the top of decode() is exact)
+                out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+                    dwords, fbu, rows, tile_r=Ru)
                 krn.append(out)
             with stage("Copy results to CPU", n):
                 return np.ascontiguousarray(

@@ -65,3 +65,31 @@ def test_configurable_frame_length(frame_length):
     out = fl_jax.decode(data.size, bits_d, values_d, frame_length,
                         bucket_frames=4)
     np.testing.assert_array_equal(out, data)
+
+
+def test_fl_host_constant_closed_form_all_widths():
+    """Round-4b host constant fast path: the FL container of a constant
+    stream is closed-form for EVERY width (odd included) and any tail;
+    near-constant streams fall through; a corrupt last payload byte is
+    rejected by the exact compare."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax, fl_numpy
+    for c in (0, 1, 5, 9, 37, 255):
+        for n in (1, 127, 128, 129, 12801):
+            data = np.full(n, c, np.uint8)
+            bg, vg = fl_numpy.encode(data)
+            b, v = fl_jax.encode(data)
+            np.testing.assert_array_equal(b, bg, err_msg=f"c={c} n={n}")
+            np.testing.assert_array_equal(v, vg, err_msg=f"c={c} n={n}")
+            np.testing.assert_array_equal(fl_jax.decode(n, b, v), data)
+    d = np.full(200_000, 9, np.uint8)
+    d[-3] = 8
+    bg, vg = fl_numpy.encode(d)
+    b, v = fl_jax.encode(d)
+    np.testing.assert_array_equal(b, bg)
+    np.testing.assert_array_equal(v, vg)
+    np.testing.assert_array_equal(fl_jax.decode(d.size, b, v), d)
+    d2 = np.full(130_000, 5, np.uint8)
+    b2, v2 = fl_numpy.encode(d2)
+    v2c = v2.copy()
+    v2c[-1] ^= 1
+    assert not np.array_equal(fl_jax.decode(d2.size, b2, v2c), d2)
