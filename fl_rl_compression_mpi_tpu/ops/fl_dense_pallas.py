@@ -1201,6 +1201,56 @@ def _odd_single_masks(R: int, fb: int, inverse: bool = False):
 UNIFORM_BS = (1, 2, 3, 4, 5, 6, 7, 8)
 
 
+def _uniform_enc_kernel_mr(fb: int, R: int, P: int, slots):
+    """Multi-ref single-width encode (round 4b, exp53): the grid step
+    reads its R input rows as P separate BlockSpec refs of Rb = R/P
+    rows (index maps absorb the block-level placement), so the
+    stride-row ladder shrinks to log2(Rb/2) rounds AND every routing
+    round runs on a quarter-size working set — w4 pair 103 → 160 GB/s
+    stripped.  Same outputs/contract as :func:`_uniform_enc_kernel`."""
+    Rb = R // P
+    Kb = fb * Rb // 8
+
+    def kernel(*refs):
+        nf_ref = refs[0]
+        ins = refs[1:1 + P]
+        lm_ref, rm_ref = refs[1 + P], refs[2 + P]
+        bits_ref, out_ref, flag_ref = refs[3 + P:6 + P]
+        i = pl.program_id(0)
+
+        @pl.when(i == 0)
+        def _():
+            flag_ref[0] = 0
+
+        bits_parts, outs = [], []
+        bad = jnp.zeros((), jnp.bool_)
+        for k in range(P):
+            w = ins[k][...].astype(jnp.uint32)
+            o = w | (w >> 8)
+            o = (o | (o >> 16)) & jnp.uint32(0xFF)
+            wq = _word_widths_f32exp(o)
+            b_fpr = _frame_widths_fpr_mxu(wq, 32)
+            bits_parts.append(b_fpr.astype(jnp.uint8))
+            fmask = (_iota((Rb, 4), 0) * 4 + _iota((Rb, 4), 1)
+                     + (i * P + k) * Rb * 4) < nf_ref[0]
+            bad = bad | jnp.any((b_fpr != fb) & fmask)
+            if fb == 8:
+                pay = w
+            else:
+                sp = ((w & jnp.uint32(0xFF))
+                      | (((w >> 8) & jnp.uint32(0xFF)) << fb)
+                      | (((w >> 16) & jnp.uint32(0xFF)) << (2 * fb))
+                      | ((w >> 24) << (3 * fb)))
+                pk = _pack_groups_b(sp, fb)
+                pay = _uniform_place(pk, fb, Rb, lm_ref[...],
+                                     rm_ref[...], slots)
+            outs.append(pay[:Kb])
+        flag_ref[0] = flag_ref[0] | bad.astype(jnp.int32)
+        bits_ref[...] = jnp.concatenate(bits_parts, axis=0)
+        out_ref[...] = jnp.concatenate(outs, axis=0)
+    return kernel
+
+
 def _uniform_enc_kernel(fb: int, R: int, slots, oslots):
     Kr = fb * R // 8
 
@@ -1248,21 +1298,68 @@ def _uniform_enc_kernel(fb: int, R: int, slots, oslots):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fb", "tile_r"))
+@functools.partial(jax.jit, static_argnames=("fb", "tile_r", "nref"))
 def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
-                                   fb: int, tile_r: int | None = None):
+                                   fb: int, tile_r: int | None = None,
+                                   nref: int = 1):
     """Speculative single-width dense encode: assumes EVERY real frame
     has width ``fb`` ∈ 1..8 (odd widths use single-width flat mask
     planes — round 4).  Returns ``(bits2d, dense, flag)`` — ``flag``
     nonzero means the assumption failed and ``dense`` is junk (callers
     re-run :func:`fl_encode_dense_pallas`); ``bits2d`` is always the
-    true widths."""
+    true widths.
+
+    ``nref`` > 1 (round 4b, exp53): the MULTI-REF variant — the tile's
+    R rows arrive as nref BlockSpec refs of R/nref rows, shrinking the
+    stride ladder and the per-round working set (w4 pair 103 → ~160
+    GB/s).  Only for fb ∈ {1,2,4} (w8 is identity placement; odd
+    widths use non-separable flat planes)."""
     R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
     assert fb in UNIFORM_BS and R % 8 == 0
     nw = words.shape[0]
     assert nw % (R * LANES) == 0
     grid = nw // (R * LANES)
     Kr = fb * R // 8
+    rows = nw // LANES
+    if nref > 1:
+        assert fb in (1, 2, 4) and R % (8 * nref) == 0
+        Rb = R // nref
+        Kb = fb * Rb // 8
+        lw, rw, slots = _uniform_place_masks(Rb)
+        assert slots is not None
+        w2d = words.reshape(rows, LANES)
+        bits2d, dense, flag = pl.pallas_call(
+            _uniform_enc_kernel_mr(fb, R, nref, slots),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
+            + [pl.BlockSpec((Rb, LANES),
+                            lambda i, k=k: (nref * i + k, 0),
+                            memory_space=pltpu.VMEM)
+               for k in range(nref)]
+            + [pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((Rb, rw.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)],
+            out_specs=[
+                pl.BlockSpec((R, 4), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((nref * Kb, LANES), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.SMEM),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((rows, 4), jnp.uint8),
+                jax.ShapeDtypeStruct((rows * fb // 8
+                                      + _dense_pad_rows(R), LANES),
+                                     jnp.uint32),
+                jax.ShapeDtypeStruct((1,), jnp.int32),
+            ],
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("arbitrary",)),
+            interpret=_interpret(),
+        )(jnp.asarray(n_frames, jnp.int32).reshape(1),
+          *((w2d,) * nref), jnp.asarray(lw), jnp.asarray(rw))
+        return bits2d, dense, flag[0]
     lw, rw, slots = _uniform_place_masks(R)
     if fb in FAST_BS:
         assert slots is not None
@@ -1270,7 +1367,6 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
     else:
         fpw, oslots = _odd_single_masks(R, fb)
         assert oslots is not None
-    rows = nw // LANES
 
     bits2d, dense, flag = pl.pallas_call(
         _uniform_enc_kernel(fb, R, slots, oslots),
@@ -1308,6 +1404,34 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
     return bits2d, dense, flag[0]
 
 
+def _uniform_dec_kernel_mr(fb: int, R: int, P: int, slots):
+    """Multi-ref single-width decode (see :func:`_uniform_enc_kernel_mr`):
+    P refs of Kb dense rows each, unplaced at the R/P scale."""
+    Rb = R // P
+    Kb = fb * Rb // 8
+
+    def kernel(*refs):
+        ins = refs[:P]
+        lm_ref, rm_ref = refs[P], refs[P + 1]
+        out_ref = refs[P + 2]
+        mask = jnp.uint32((1 << fb) - 1)
+        outs = []
+        for k in range(P):
+            y = jnp.concatenate(
+                [ins[k][...].astype(jnp.uint32),
+                 jnp.zeros((Rb - Kb, LANES), jnp.uint32)], axis=0)
+            y = _uniform_unplace(y, fb, Rb, lm_ref[...], rm_ref[...],
+                                 slots)
+            f = _unpack_groups_b(y, fb)
+            s1 = f >> fb
+            s2 = s1 >> fb
+            s3 = s2 >> fb
+            outs.append((f & mask) | ((s1 & mask) << 8)
+                        | ((s2 & mask) << 16) | ((s3 & mask) << 24))
+        out_ref[...] = jnp.concatenate(outs, axis=0)
+    return kernel
+
+
 def _uniform_dec_kernel(fb: int, R: int, slots, oslots):
     def kernel(d_ref, lm_ref, rm_ref, fp_ref, out_ref):
         mask = jnp.uint32((1 << fb) - 1 if fb < 8 else 0xFFFFFFFF)
@@ -1332,22 +1456,53 @@ def _uniform_dec_kernel(fb: int, R: int, slots, oslots):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("fb", "rows_out", "tile_r"))
+@functools.partial(jax.jit, static_argnames=("fb", "rows_out", "tile_r",
+                                              "nref"))
 def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
                                    rows_out: int,
-                                   tile_r: int | None = None) -> jax.Array:
+                                   tile_r: int | None = None,
+                                   nref: int = 1) -> jax.Array:
     """Single-width dense decode: the stream is consumed in exact
     static blocks (tile i reads rows [i·Kr, (i+1)·Kr)) — a pure
     BlockSpec pipeline, no window DMA, no offset scan.  Valid only when
     every frame's width is ``fb`` ∈ 1..8 (callers check the widths
     header).  ``dense2d`` rows must cover ``rows_out·fb/8`` and be a
     multiple of ``Kr`` (the encoders' padded buffers are, by
-    construction)."""
+    construction).  ``nref``: see
+    :func:`fl_encode_dense_uniform_pallas` (round 4b, exp53)."""
     R = DENSE_UNIFORM_TILE_R if tile_r is None else tile_r
     assert fb in UNIFORM_BS and R % 8 == 0
     assert rows_out % R == 0
     grid = rows_out // R
     Kr = fb * R // 8
+    if nref > 1:
+        assert fb in (1, 2, 4) and R % (8 * nref) == 0
+        Rb = R // nref
+        Kb = fb * Rb // 8
+        lw, rw, slots = _uniform_unplace_masks(Rb)
+        assert slots is not None
+        need = grid * Kr
+        assert dense2d.shape[0] >= need, (dense2d.shape, need)
+        src = dense2d[:need] if dense2d.shape[0] % Kb else dense2d
+        return pl.pallas_call(
+            _uniform_dec_kernel_mr(fb, R, nref, slots),
+            grid=(grid,),
+            in_specs=[pl.BlockSpec((Kb, LANES),
+                                   lambda i, k=k: (nref * i + k, 0),
+                                   memory_space=pltpu.VMEM)
+                      for k in range(nref)]
+            + [pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM),
+               pl.BlockSpec((Rb, rw.shape[1]), lambda i: (0, 0),
+                            memory_space=pltpu.VMEM)],
+            out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((rows_out, LANES),
+                                           jnp.uint32),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel",)),
+            interpret=_interpret(),
+        )(*((src,) * nref), jnp.asarray(lw), jnp.asarray(rw))
     lw, rw, slots = _uniform_unplace_masks(R)
     if fb in FAST_BS:
         assert slots is not None

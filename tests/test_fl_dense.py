@@ -867,3 +867,43 @@ def test_constant_dispatch_through_fl_jax(monkeypatch):
         np.testing.assert_array_equal(values, vg, err_msg=name)
         out = fl_jax.decode(data.size, bits, values, bucket_frames=32)
         np.testing.assert_array_equal(out, data, err_msg=name)
+
+
+def test_uniform_multiref_kernels_bit_exact():
+    """Round-4b multi-ref uniform kernels (nref > 1): same contract as
+    nref=1 — golden bytes, true widths, authoritative flag."""
+    g = np.random.default_rng(77)
+    Rt = 32                       # Rb = Rt/nref must stay a multiple of 8
+    for fb in (1, 2, 4):
+        for nref in (2, 4):
+            n = Rt * 512 * 3 + 301
+            npad = -(-n // (Rt * 512)) * (Rt * 512)
+            lo = 1 << (fb - 1) if fb > 1 else 0
+            data = g.integers(lo, 1 << fb, npad).astype(np.uint8)
+            data[::128] = np.uint8((1 << fb) - 1)
+            data[n:] = 0
+            nfr = -(-n // 128)
+            bg, vg = fl_numpy.encode(data[:n])
+            w = jnp.asarray(data.view(np.uint32))
+            b2, dense, flag = \
+                fl_dense_pallas.fl_encode_dense_uniform_pallas(
+                    w, jnp.int32(nfr), fb, tile_r=Rt, nref=nref)
+            assert int(flag) == 0, (fb, nref)
+            np.testing.assert_array_equal(
+                np.asarray(b2).reshape(-1)[:nfr], bg)
+            np.testing.assert_array_equal(
+                np.ascontiguousarray(np.asarray(dense)).reshape(
+                    -1).view(np.uint8)[: vg.size], vg)
+            out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+                dense, fb, npad // 512, tile_r=Rt, nref=nref)
+            np.testing.assert_array_equal(
+                np.asarray(out).reshape(-1).view(np.uint8)[:n],
+                data[:n])
+            # flag on a mixed REAL tail (speculation contract; write
+            # inside [:n] — the pad region must not trip it)
+            bad = data.copy()
+            bad[n - 129: n] = 255
+            *_, fl2 = fl_dense_pallas.fl_encode_dense_uniform_pallas(
+                jnp.asarray(bad.view(np.uint32)), jnp.int32(nfr), fb,
+                tile_r=Rt, nref=nref)
+            assert int(fl2) == 1, (fb, nref)
