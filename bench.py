@@ -396,16 +396,17 @@ def main() -> int:
                     if fb:
                         ru = fl_dense_pallas.uniform_tile_r(
                             fb, npad // 512)
+                        nr = fl_dense_pallas.uniform_nref(fb, ru)
 
                         def rt(w):
                             b2, dense, flag = \
                                 fl_dense_pallas.\
                                 fl_encode_dense_uniform_pallas(
-                                    w, nf, fb, tile_r=ru)
+                                    w, nf, fb, tile_r=ru, nref=nr)
                             return fl_dense_pallas.\
                                 fl_decode_dense_uniform_pallas(
                                     dense, fb, npad // 512,
-                                    tile_r=ru).reshape(-1)
+                                    tile_r=ru, nref=nr).reshape(-1)
                     else:
                         # general network with the production stream
                         # plan (speculative on encode / exact on

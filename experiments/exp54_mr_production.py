@@ -88,9 +88,11 @@ def main():
             return jax.lax.fori_loop(0, k, lambda _, v: rt(v), w)
         return chain
 
-    nrefs = (1, 2) if SMOKE else (1, 4, 8)
+    nrefs = ((1, 2) if SMOKE else tuple(
+        int(x) for x in os.environ.get("NREFS", "1,4,8").split(",")))
+    fbs = tuple(int(x) for x in os.environ.get("FBS", "1,2,4").split(","))
     good = []
-    for fb in (1, 2, 4):
+    for fb in fbs:
         data = mk_w(fb, n, npad, rng)
         bg, vg = fl_numpy.encode(data[:n])
         wd = jax.device_put(jnp.asarray(data.view(np.uint32)))

@@ -1536,6 +1536,20 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
     )(src, jnp.asarray(lw), jnp.asarray(rw), jnp.asarray(fpw))
 
 
+def uniform_nref(fb: int, R: int) -> int:
+    """Chip-tuned multi-ref count for the single-width kernels
+    (production-shaped A/B, exp54, 3 cycles each): w4 pair 103 → 145.5-
+    146.6 GB/s and w2 80.6 → 104.2 at nref=4 (nref=8 is worse for both:
+    118 / 77 — the per-block widths+flag overhead and the smaller
+    decode DMAs eat the extra ladder savings); w1 LOSES at nref=8
+    (64-68 vs 74-77) and is unmeasured at 4, so it stays single-ref;
+    w8 is identity placement and odd widths use non-separable flat
+    planes.  Requires R/nref to stay a multiple of 8."""
+    if fb in (2, 4) and R % 32 == 0:
+        return 4
+    return 1
+
+
 def uniform_tile_r(fb: int, rows: int | None = None) -> int:
     """Per-width tile size for the stripped single-width kernels (chip
     A/B, exp48 STAGE=uni, 3 cycles): w8 pairs 300-336 GB/s at R=2048 vs

@@ -354,7 +354,8 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
             if fbp is not None:
                 b2u, du, flag = \
                     fl_dense_pallas.fl_encode_dense_uniform_pallas(
-                        wordsj, nfj, fbp, tile_r=Ru)
+                        wordsj, nfj, fbp, tile_r=Ru,
+                        nref=fl_dense_pallas.uniform_nref(fbp, Ru))
                 if int(jax.device_get(flag)) == 0:
                     bits2d, dense = b2u, du.reshape(-1)
             if dense is None:
@@ -521,7 +522,8 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
                 # (constant containers never reach here — the host
                 # closed-form check at the top of decode() is exact)
                 out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
-                    dwords, fbu, rows, tile_r=Ru)
+                    dwords, fbu, rows, tile_r=Ru,
+                    nref=fl_dense_pallas.uniform_nref(fbu, Ru))
                 krn.append(out)
             with stage("Copy results to CPU", n):
                 return np.ascontiguousarray(

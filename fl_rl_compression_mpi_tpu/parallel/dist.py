@@ -200,8 +200,10 @@ def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
 def _fl_local_encode_dense_uniform(fb, tile_r):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
+        nref = (fl_dense_pallas.uniform_nref(fb, tile_r)
+                if tile_r else 1)
         b2, dense, flag = fl_dense_pallas.fl_encode_dense_uniform_pallas(
-            words[0], n_frames[0], fb, tile_r=tile_r)
+            words[0], n_frames[0], fb, tile_r=tile_r, nref=nref)
         return b2[None], dense[None], flag[None]
     return f
 
@@ -226,8 +228,10 @@ def fl_compress_sharded_dense_uniform(mesh: Mesh, words2d: jax.Array,
 def _fl_local_decode_dense_uniform(fb, rows_shard, tile_r):
     def f(dense, n_frames):
         from ..ops import fl_dense_pallas
+        nref = (fl_dense_pallas.uniform_nref(fb, tile_r)
+                if tile_r else 1)
         out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
-            dense[0], fb, rows_shard, tile_r=tile_r)
+            dense[0], fb, rows_shard, tile_r=tile_r, nref=nref)
         return out[None]
     return f
 
