@@ -907,3 +907,14 @@ def test_uniform_multiref_kernels_bit_exact():
                 jnp.asarray(bad.view(np.uint32)), jnp.int32(nfr), fb,
                 tile_r=Rt, nref=nref)
             assert int(fl2) == 1, (fb, nref)
+
+
+def test_uniform_nref_dispatch_table():
+    """exp54's chip-tuned selection: nref=4 for widths {2,4} at
+    32-row-divisible tiles; everything else single-ref."""
+    f = fl_dense_pallas.uniform_nref
+    assert f(4, 1024) == 4 and f(2, 1024) == 4
+    assert f(1, 1024) == 1          # measured loss at 8, unmeasured at 4
+    assert f(8, 2048) == 1          # identity placement
+    assert f(3, 1024) == 1          # odd widths: flat planes
+    assert f(4, 8) == 1             # R/nref must stay a multiple of 8
