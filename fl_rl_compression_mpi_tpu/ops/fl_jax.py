@@ -245,15 +245,10 @@ def decode_fields_device(fields: jax.Array, bits: jax.Array, n: jax.Array,
 
 
 def _host_constant_byte(data: np.ndarray) -> int | None:
-    """Two-stage constant-stream check (cheap 128 KiB probe, then one
-    exact host pass only on a probe hit)."""
-    c = int(data[0])
-    probe = min(data.size, 128 << 10)
-    if not bool((data[:probe] == c).all()):
-        return None
-    if data.size > probe and not bool((data[probe:] == c).all()):
-        return None
-    return c
+    """Two-stage constant-stream check (cheap 128 KiB probe, then a
+    chunked early-exit verify — shared helper in ``utils``)."""
+    from ..utils import constant_byte_probe
+    return constant_byte_probe(data)
 
 
 def _constant_frame_pattern(c: int, fb: int,
@@ -292,6 +287,15 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
     with `fl_numpy.encode` (device fields kernel + host fold)."""
     from .fields import fold
 
+    if frame_length % 8:
+        # Every downstream formulation (the field spread, the dense
+        # kernels, the closed-form constant container) assumes full
+        # frames are byte-aligned; a non-multiple-of-8 frame length
+        # would previously hit an assert deep in the field kernel — or,
+        # worse, silently emit a wrong constant container.  Reject at
+        # the API boundary (the CLI enforces the same rule).
+        raise ValueError(
+            f"frame_length must be a multiple of 8, got {frame_length}")
     data = np.asarray(data, np.uint8)
     n = data.size
     if n == 0:
@@ -427,6 +431,9 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     """NumPy in → decoded u8[output_size] (host unfold + device kernel)."""
     from .fields import unfold
 
+    if frame_length % 8:
+        raise ValueError(
+            f"frame_length must be a multiple of 8, got {frame_length}")
     bits = np.asarray(bits, np.uint8)
     values = np.asarray(values, np.uint8)
     n = int(output_size)

@@ -163,17 +163,12 @@ def _pad(n: int, bucket: int) -> int:
 
 
 def _constant_byte(data: np.ndarray) -> int | None:
-    """Cheap two-stage constant-stream check: probe the first 128 KiB,
-    then (only on a probe hit) verify the rest with one host pass —
-    non-constant streams pay ~128 KiB, constant streams pay one compare
-    instead of the whole device round trip."""
-    c = int(data[0])
-    probe = min(data.size, 128 << 10)
-    if not bool((data[:probe] == c).all()):
-        return None
-    if data.size > probe and not bool((data[probe:] == c).all()):
-        return None
-    return c
+    """Cheap two-stage constant-stream check (chunked early-exit
+    verify — shared helper in ``utils``): non-constant streams pay
+    ~128 KiB, constant streams pay one bounded-memory compare instead
+    of the whole device round trip."""
+    from ..utils import constant_byte_probe
+    return constant_byte_probe(data)
 
 
 def encode(data: np.ndarray, bucket: int = 1 << 20):

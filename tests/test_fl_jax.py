@@ -93,3 +93,38 @@ def test_fl_host_constant_closed_form_all_widths():
     v2c = v2.copy()
     v2c[-1] ^= 1
     assert not np.array_equal(fl_jax.decode(d2.size, b2, v2c), d2)
+
+
+def test_constant_probe_chunked_early_exit():
+    """Shared chunked constant probe (ADVICE r4): bounded-memory verify
+    with early exit; mismatches at chunk boundaries and deep into the
+    stream are caught; empty input is None."""
+    from fl_rl_compression_mpi_tpu.utils import constant_byte_probe
+    assert constant_byte_probe(np.zeros(0, np.uint8)) is None
+    assert constant_byte_probe(np.full(100, 7, np.uint8)) == 7
+    # crosses the 128 KiB probe and several 8 MiB chunks
+    a = np.full(20 << 20, 3, np.uint8)
+    assert constant_byte_probe(a) == 3
+    for pos in (0, (128 << 10) - 1, 128 << 10, (8 << 20) + (128 << 10),
+                (20 << 20) - 1):
+        b = a.copy()
+        b[pos] = 9
+        assert constant_byte_probe(b) is None, pos
+    # the FL and RL host codecs both dispatch through it
+    from fl_rl_compression_mpi_tpu.ops import fl_jax, rl_jax
+    assert fl_jax._host_constant_byte(np.full(10, 4, np.uint8)) == 4
+    assert rl_jax._constant_byte(np.full(10, 4, np.uint8)) == 4
+
+
+def test_fl_encode_rejects_unaligned_frame_length():
+    """frame_length % 8 != 0 must raise at the API boundary (ADVICE r4:
+    the closed-form constant encode would otherwise silently emit a
+    wrong container for constant inputs)."""
+    import pytest
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    const = np.full(1000, 5, np.uint8)   # would hit the constant path
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fl_jax.encode(const, frame_length=100)
+    with pytest.raises(ValueError, match="multiple of 8"):
+        fl_jax.decode(100, np.ones(1, np.uint8), np.ones(13, np.uint8),
+                      frame_length=100)
