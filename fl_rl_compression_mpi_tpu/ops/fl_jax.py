@@ -281,6 +281,41 @@ def _constant_container(c: int, n: int, frame_length: int):
     return bits, values
 
 
+def host_constant_decode_probe(bits: np.ndarray, values: np.ndarray,
+                               n: int,
+                               frame_length: int = FRAME_LENGTH
+                               ) -> int | None:
+    """Decode-side constant-container check (round 4b), shared by the
+    single-chip and distributed host decoders: returns the constant
+    byte when the container is EXACTLY the closed form (uniform widths
+    + repeating frame pattern, verified by a cheap prefix probe and
+    then an exact full compare), else None — a mismatch falls through
+    to the device paths."""
+    frames = -(-n // frame_length)
+    if (frame_length % 8 or not frames or not values.size
+            or bits.size < frames):
+        return None
+    ba = bits[:frames]
+    if not bool((ba == ba[0]).all()):
+        return None
+    fbu = int(ba[0])
+    c = int(values[0]) & ((1 << fbu) - 1)
+    if max(1, c.bit_length()) != fbu:
+        return None
+    # prefix probe against the repeating frame pattern (valid strictly
+    # before the last byte — only the tail frame's final byte is
+    # masked), THEN the exact full compare
+    pat = _constant_frame_pattern(c, fbu, frame_length)
+    probe = min(values.size - 1, 128 << 10)
+    pre = np.tile(pat, -(-probe // pat.size) + 1)[:probe]
+    if not bool((values[:probe] == pre).all()):
+        return None
+    _, ev = _constant_container(c, n, frame_length)
+    if values.size == ev.size and bool((values == ev).all()):
+        return c
+    return None
+
+
 def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192):
     """NumPy in → (bits u8[F], values u8[V]) out, exact sizes, bit-exact
@@ -449,27 +484,12 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
             "fl decode: corrupt container (bits array shorter than "
             f"frame count: {bits.size} < {frames})")
     # Host constant-container fast path (round 4b): uniform widths +
-    # the exact closed-form payload ⇒ the output is one memset.  Cheap
-    # prefix probe first; the full compare (one host pass over the
-    # compressed bytes) runs only on a probe hit and is exact — a
-    # mismatch falls through to the device paths.
-    ba = bits[:frames]
-    if frames and values.size and bool((ba == ba[0]).all()):
-        fbu = int(ba[0])
-        c = int(values[0]) & ((1 << fbu) - 1)
-        if max(1, c.bit_length()) == fbu:
-            # prefix probe against the repeating frame pattern (valid
-            # strictly before the last byte — only the tail frame's
-            # final byte is masked), THEN the exact full compare
-            pat = _constant_frame_pattern(c, fbu, frame_length)
-            probe = min(values.size - 1, 128 << 10)
-            pre = np.tile(pat, -(-probe // pat.size) + 1)[:probe]
-            if bool((values[:probe] == pre).all()):
-                _, ev = _constant_container(c, n, frame_length)
-                if values.size == ev.size and bool((values == ev).all()):
-                    from ..utils.timers import stage
-                    with stage("Decompression", n):  # --timers parity
-                        return np.full(n, c, np.uint8)
+    # the exact closed-form payload ⇒ the output is one memset.
+    c = host_constant_decode_probe(bits, values, n, frame_length)
+    if c is not None:
+        from ..utils.timers import stage
+        with stage("Decompression", n):      # --timers parity
+            return np.full(n, c, np.uint8)
     cap = _device_cap(frame_length)
     if n > cap:
         # per-chunk value offsets from the widths header (the same

@@ -171,28 +171,43 @@ def fl_compress_sharded(mesh: Mesh, words2d: jax.Array, ns: jax.Array,
     return fn(words2d, ns)
 
 
-def _fl_local_encode_dense(frame_length):
+def _fl_local_encode_dense(frame_length, wmin=1, route_nbits=None):
     def f(words, n_frames):
         from ..ops import fl_dense_pallas
-        bits2d, dense, total, _ = fl_dense_pallas.fl_encode_dense_pallas(
-            words[0], n_frames[0])
-        return bits2d[None], dense[None], total[None]
+        outs = fl_dense_pallas.fl_encode_dense_pallas(
+            words[0], n_frames[0], wmin=wmin, route_nbits=route_nbits)
+        bits2d, dense, total = outs[:3]
+        # 5th output (plan-violation flag) exists only when the plan is
+        # narrower than the defaults; emit a zero otherwise so the
+        # shard program has one shape
+        flag = outs[4] if len(outs) > 4 else jnp.int32(0)
+        return (bits2d[None], dense[None], total[None],
+                flag.reshape(1))
     return f
 
 
 def fl_compress_sharded_dense(mesh: Mesh, words2d: jax.Array,
                               nframes: jax.Array,
-                              frame_length: int = FRAME_LENGTH):
+                              frame_length: int = FRAME_LENGTH,
+                              wmin: int = 1,
+                              route_nbits: int | None = None):
     """Per-shard DENSE encode: each chip assembles its own packed byte
     stream on device (no host fold anywhere); the host later pulls only
     each shard's exact compressed prefix.  Frame-aligned shard boundaries
-    make the byte concatenation the reference merge exactly."""
+    make the byte concatenation the reference merge exactly.
+
+    ``wmin``/``route_nbits``: SPECULATIVE stream plan (exp51) shared by
+    every shard — the per-shard flags (4th return, i32[N]) are
+    authoritative; any nonzero flag means that shard's dense stream is
+    junk and the caller re-runs the default program."""
     fn = _cached(
-        ("fl_enc_dense", mesh, frame_length),
+        ("fl_enc_dense", mesh, frame_length, wmin, route_nbits),
         lambda: jax.jit(jax.shard_map(
-            _fl_local_encode_dense(frame_length), mesh=mesh,
+            _fl_local_encode_dense(frame_length, wmin, route_nbits),
+            mesh=mesh,
             in_specs=(P(AXIS, None), P(AXIS)),
-            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS),
+                       P(AXIS)),
             check_vma=False)))
     return fn(words2d, nframes)
 
@@ -249,6 +264,65 @@ def fl_decompress_sharded_dense_uniform(mesh: Mesh, dense3d, nframes,
             in_specs=(P(AXIS, None, None), P(AXIS)),
             out_specs=P(AXIS, None, None), check_vma=False)))
     return fn(dense3d, nframes)
+
+
+def _fl_local_encode_dense_constant(cbyte, fb, tile_r):
+    def f(words, n_frames):
+        from ..ops import fl_dense_pallas
+        b2, dense, flag = fl_dense_pallas.fl_encode_dense_constant_pallas(
+            words[0], n_frames[0], cbyte, fb, tile_r=tile_r)
+        return b2[None], dense.reshape(-1)[None], flag.reshape(1)
+    return f
+
+
+def fl_compress_sharded_dense_constant(mesh: Mesh, words2d: jax.Array,
+                                       nframes: jax.Array, cbyte: int,
+                                       fb: int,
+                                       tile_r: int | None = None):
+    """Per-shard CONSTANT-STREAM dense encode (speculative verify-and-
+    broadcast kernels, exp52): every chip verifies its shard equals
+    ``cbyte`` and synthesizes the packed pattern without routing.  The
+    per-shard flags are authoritative — any nonzero flag falls back to
+    the uniform/general shard programs.  (HOST-facing compress takes
+    the closed-form container instead; this is the device-resident
+    pipeline path.)"""
+    fn = _cached(
+        ("fl_enc_dense_c", mesh, cbyte, fb, tile_r),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_encode_dense_constant(cbyte, fb, tile_r),
+            mesh=mesh,
+            in_specs=(P(AXIS, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS, None), P(AXIS)),
+            check_vma=False)))
+    return fn(words2d, nframes)
+
+
+def _fl_local_decode_dense_constant(cbyte, fb, rows_shard, tile_r):
+    def f(dense, vsizes):
+        from ..ops import fl_dense_pallas
+        out, flag = fl_dense_pallas.fl_decode_dense_constant_pallas(
+            dense[0], vsizes[0], cbyte, fb, rows_shard, tile_r=tile_r)
+        return out[None], flag.reshape(1)
+    return f
+
+
+def fl_decompress_sharded_dense_constant(mesh: Mesh, dense3d,
+                                         vsizes: jax.Array, cbyte: int,
+                                         fb: int, rows_shard: int,
+                                         tile_r: int | None = None):
+    """Per-shard CONSTANT-STREAM dense decode: each chip byte-verifies
+    its exact compressed slice against the constant pattern and
+    broadcasts the byte.  Flags authoritative as on encode."""
+    fn = _cached(
+        ("fl_dec_dense_c", mesh, cbyte, fb, rows_shard, tile_r),
+        lambda: jax.jit(jax.shard_map(
+            _fl_local_decode_dense_constant(cbyte, fb, rows_shard,
+                                            tile_r),
+            mesh=mesh,
+            in_specs=(P(AXIS, None, None), P(AXIS)),
+            out_specs=(P(AXIS, None, None), P(AXIS)),
+            check_vma=False)))
+    return fn(dense3d, vsizes)
 
 
 def _fl_merged_encode_dense_meta(frame_length):
@@ -452,6 +526,17 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
         return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    # Whole-stream CONSTANT closed form (round 4b): the host API
+    # verifies (chunked early-exit probe) and synthesizes the container
+    # with no device round trip at all — the distributed merge of N
+    # constant shards IS the constant container.  Device-resident
+    # pipelines use fl_compress_sharded_dense_constant instead.
+    if frame_length % 8 == 0:
+        c = fl_jax._host_constant_byte(data)
+        if c is not None:
+            bits_c, values_c = fl_jax._constant_container(
+                c, data.size, frame_length)
+            return FLCompressed(bits_c, values_c, data.size)
     step = _superchunks(data.size, n_dev, frame_length)
     if step:
         parts = [compress_fl(data[o:o + step], mesh, frame_length,
@@ -487,7 +572,20 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
                 bits_h = np.asarray(jax.device_get(b_u))
                 dense_d = d_u.reshape(n_dev, -1)
         if bits_h is None:
-            bits_d, dense_d, _ = fl_compress_sharded_dense(
+            # SPECULATIVE stream plan for the general shard program
+            # (exp51, VERDICT r4 item 8): probed from the file head on
+            # host, verified per shard by the kernel flags; a miss on
+            # any shard re-runs the default program.
+            wq_e, nq_e = fl_dense_pallas.host_probe_route_plan(data)
+            if wq_e > 1 or nq_e is not None:
+                b_p, d_p, _, flags_p = fl_compress_sharded_dense(
+                    mesh, wd, nfs_arr, frame_length,
+                    wmin=wq_e, route_nbits=nq_e)
+                if not int(np.asarray(jax.device_get(flags_p)).sum()):
+                    bits_h = np.asarray(jax.device_get(b_p))
+                    dense_d = d_p.reshape(n_dev, -1)
+        if bits_h is None:
+            bits_d, dense_d, _, _ = fl_compress_sharded_dense(
                 mesh, wd, nfs_arr, frame_length)
             bits_h = np.asarray(jax.device_get(bits_d))
         bits_parts, values_parts = [], []
@@ -534,6 +632,13 @@ def compress_fl_ici(data: np.ndarray, mesh: Mesh | None = None,
         return FLCompressed(np.zeros(0, np.uint8), np.zeros(0, np.uint8), 0)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    # CONSTANT closed form — see compress_fl (no device round trip).
+    if frame_length % 8 == 0:
+        c = fl_jax._host_constant_byte(data)
+        if c is not None:
+            bits_c, values_c = fl_jax._constant_container(
+                c, data.size, frame_length)
+            return FLCompressed(bits_c, values_c, data.size)
     step = _superchunks(data.size, n_dev, frame_length)
     if step:
         parts = [compress_fl_ici(data[o:o + step], mesh, frame_length,
@@ -589,6 +694,14 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
         return np.zeros(0, np.uint8)
     mesh = mesh or make_mesh()
     n_dev = mesh.devices.size
+    # CONSTANT closed form (round 4b): exact host verify of the
+    # container against the repeating frame pattern → one memset, no
+    # device work (device-resident pipelines use
+    # fl_decompress_sharded_dense_constant instead).
+    c = fl_jax.host_constant_decode_probe(comp.bits, comp.values, n,
+                                          frame_length)
+    if c is not None:
+        return np.full(n, c, np.uint8)
     step = _superchunks(n, n_dev, frame_length)
     if step:
         frames = -(-n // frame_length)

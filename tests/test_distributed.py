@@ -184,3 +184,114 @@ def test_sharded_dense_decode_has_no_shape_cliffs(monkeypatch):
     np.testing.assert_array_equal(out, udata)
     assert calls["uniform"] >= 1, (
         "uniform sharded decode path not taken (silent fallback)")
+
+
+def test_round5_dispatch_layers_sharded(monkeypatch):
+    """Round-5 dist layers (VERDICT r4 item 8): encode-side stream-plan
+    speculation under shard_map (hit + flag-miss fallback), the
+    constant closed-form host APIs, and the shard_map'd constant
+    verify-and-broadcast kernels — all byte-exact vs fl_numpy."""
+    import jax
+    import jax.numpy as jnp
+
+    from fl_rl_compression_mpi_tpu.ops import fl_dense_pallas, fl_jax
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense",
+        lambda fl, nw: fl == 128 and nw % 1024 == 0)
+    monkeypatch.setattr(fl_jax, "_use_dense_dec", fl_jax._use_dense)
+    n_dev = 4
+    mesh = dist.make_mesh(n_dev)
+    rng = np.random.default_rng(11)
+    total = 128 * 32 * n_dev + 99
+    plan = dist.plan_shards(total, n_dev, bucket_frames=32)
+    nfs = jnp.asarray([-(-int(x) // 128) for x in plan.ns], jnp.int32)
+
+    # (a) plan HIT: widths in {7,8} -> narrow plan holds on every shard
+    data_p = rng.integers(0, 256, total, np.uint8)
+    dp2 = data_p[: total // 128 * 128].reshape(-1, 128)
+    dp2[::2] &= 0x7F
+    dp2[::2, 0] |= 0x40
+    dp2[1::2, 0] |= 0x80
+    wq, nq = fl_dense_pallas.host_probe_route_plan(data_p)
+    assert wq > 1 or nq is not None
+    wd_p = jnp.asarray(dist.shard_host_data(data_p, plan).view(np.uint32))
+    _, _, _, flags = dist.fl_compress_sharded_dense(
+        mesh, wd_p, nfs, wmin=wq, route_nbits=nq)
+    assert int(np.asarray(jax.device_get(flags)).sum()) == 0
+    comp = dist.compress_fl(data_p, mesh, bucket_frames=32)
+    bg, vg = fl_numpy.encode(data_p)
+    np.testing.assert_array_equal(comp.bits, bg)
+    np.testing.assert_array_equal(comp.values, vg)
+    np.testing.assert_array_equal(
+        dist.decompress_fl(comp, mesh, bucket_frames=32), data_p)
+
+    # (b) flag MISS: wide head (plan speculated narrow), width-1 tail
+    # frames blow the routing bound -> flags trip, compress_fl re-runs
+    # the default program, still byte-exact
+    data_m = rng.integers(0, 256, total, np.uint8)
+    dm2 = data_m[: total // 128 * 128].reshape(-1, 128)
+    dm2[:, 0] |= 0x80
+    dm2[dm2.shape[0] // 2:] &= 1
+    wq_m, nq_m = fl_dense_pallas.host_probe_route_plan(data_m)
+    assert wq_m > 1 or nq_m is not None
+    wd_m = jnp.asarray(dist.shard_host_data(data_m, plan).view(np.uint32))
+    _, _, _, flags_m = dist.fl_compress_sharded_dense(
+        mesh, wd_m, nfs, wmin=wq_m, route_nbits=nq_m)
+    assert int(np.asarray(jax.device_get(flags_m)).sum()) > 0
+    comp_m = dist.compress_fl(data_m, mesh, bucket_frames=32)
+    bg_m, vg_m = fl_numpy.encode(data_m)
+    np.testing.assert_array_equal(comp_m.bits, bg_m)
+    np.testing.assert_array_equal(comp_m.values, vg_m)
+
+    # (c) constant closed form on the host APIs (no device round trip)
+    data_c = np.full(total, 9, np.uint8)
+    bg_c, vg_c = fl_numpy.encode(data_c)
+    for compress in (dist.compress_fl, dist.compress_fl_ici):
+        comp_c = compress(data_c, mesh, bucket_frames=32)
+        np.testing.assert_array_equal(comp_c.bits, bg_c)
+        np.testing.assert_array_equal(comp_c.values, vg_c)
+    np.testing.assert_array_equal(
+        dist.decompress_fl(comp_c, mesh, bucket_frames=32), data_c)
+
+    # (d) shard_map'd verify-and-broadcast constant kernels (device-
+    # resident pipeline path): exact bytes, flags authoritative
+    total_c = 128 * 32 * n_dev
+    plan_c = dist.plan_shards(total_c, n_dev, bucket_frames=32)
+    data_c2 = np.full(total_c, 9, np.uint8)
+    cb, fbc = fl_dense_pallas.host_probe_constant(data_c2, total_c)
+    wd_c = jnp.asarray(dist.shard_host_data(data_c2, plan_c).view(
+        np.uint32))
+    nfs_c = jnp.asarray([-(-int(x) // 128) for x in plan_c.ns],
+                        jnp.int32)
+    b_c, d_c, flags_c = dist.fl_compress_sharded_dense_constant(
+        mesh, wd_c, nfs_c, cb, fbc)
+    assert int(np.asarray(jax.device_get(flags_c)).sum()) == 0
+    vg_c2 = fl_numpy.encode(data_c2)[1]
+    vsz_sh = np.asarray([int(x) * fbc // 8 for x in plan_c.ns], np.int32)
+    dense_h = np.asarray(jax.device_get(d_c))
+    vparts = [np.ascontiguousarray(dense_h[i]).view(np.uint8)[: vsz_sh[i]]
+              for i in range(n_dev)]
+    np.testing.assert_array_equal(np.concatenate(vparts), vg_c2)
+    rows_shard = plan_c.shard_npad // 512
+    need = rows_shard // 8 * fbc
+    d3 = np.zeros((n_dev, need, 128), np.uint32)
+    for i in range(n_dev):
+        d3[i].reshape(-1).view(np.uint8)[: vsz_sh[i]] = vparts[i]
+    out_c, dflags = dist.fl_decompress_sharded_dense_constant(
+        mesh, jnp.asarray(d3), jnp.asarray(vsz_sh), cb, fbc, rows_shard)
+    assert int(np.asarray(jax.device_get(dflags)).sum()) == 0
+    out_b = np.ascontiguousarray(np.asarray(
+        jax.device_get(out_c))).view(np.uint8).reshape(n_dev, -1)
+    np.testing.assert_array_equal(
+        np.concatenate([out_b[i, : plan_c.ns[i]] for i in range(n_dev)]),
+        data_c2)
+    # corrupted shard trips the encode flag
+    bad = data_c2.copy()
+    bad[total_c // 2] ^= 0xFF
+    wd_b = jnp.asarray(dist.shard_host_data(bad, plan_c).view(np.uint32))
+    _, _, flags_b = dist.fl_compress_sharded_dense_constant(
+        mesh, wd_b, nfs_c, cb, fbc)
+    assert int(np.asarray(jax.device_get(flags_b)).sum()) > 0
