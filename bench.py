@@ -923,6 +923,27 @@ def main() -> int:
             RESULT["e2e_load_s"] = round(t_load, 2)
             RESULT["e2e_codec_s"] = round(t_codec, 2)
             RESULT["e2e_write_s"] = round(t_write, 2)
+            # Overlapped pipeline (round 5): chunked double-buffered
+            # encode_chunks — H2D of chunk k+1 and its kernel overlap
+            # chunk k's D2H; A/B against the serial codec time above
+            # on the same data.  Warm the chunk-shaped executables
+            # first (different padded shape than the whole buffer).
+            ck = 32 << 20
+            if n > ck:
+                for _ in _fj.encode_chunks(iter([data_l[:ck]])):
+                    pass
+                t0 = time.perf_counter()
+                pbits, pvals = [], []
+                for b_k, v_k in _fj.encode_chunks(
+                        data_l[o:o + ck] for o in range(0, n, ck)):
+                    pbits.append(b_k)
+                    pvals.append(v_k)
+                t_pipe = time.perf_counter() - t0
+                RESULT["e2e_pipe_s"] = round(t_pipe, 2)
+                RESULT["e2e_pipe_gbps"] = round(n / 1e9 / t_pipe, 4)
+                RESULT["e2e_pipe_ok"] = bool(
+                    np.array_equal(np.concatenate(pbits), bits_e)
+                    and np.array_equal(np.concatenate(pvals), values_e))
 
     # Arm schedule: most valuable first; slowest behind --full (the
     # driver runs bare `python bench.py` — VERDICT r4 item 1d).

@@ -348,9 +348,14 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
             return _constant_container(c, n, frame_length)
     cap = _device_cap(frame_length)
     if n > cap:
+        # software-pipelined over cap-sized frame-aligned chunks: chunk
+        # k+1's H2D + kernel dispatch overlaps chunk k's D2H + host
+        # work (round 5 — the reference driver is fully serialized,
+        # fl_gpu.cu:341,348,367)
         bits_parts, values_parts = [], []
-        for off in range(0, n, cap):
-            b, v = encode(data[off:off + cap], frame_length, bucket_frames)
+        for b, v in encode_chunks(
+                (data[off:off + cap] for off in range(0, n, cap)),
+                frame_length, bucket_frames):
             bits_parts.append(b)
             values_parts.append(v)
         return np.concatenate(bits_parts), np.concatenate(values_parts)
@@ -493,21 +498,26 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     cap = _device_cap(frame_length)
     if n > cap:
         # per-chunk value offsets from the widths header (the same
-        # scan the reference decoder runs, fl_gpu.cu:596-601)
+        # scan the reference decoder runs, fl_gpu.cu:596-601), then a
+        # software-pipelined walk (chunk k+1's H2D + kernel overlap
+        # chunk k's D2H — round 5)
         counts = np.minimum(
             n - np.arange(frames, dtype=np.int64) * frame_length,
             frame_length)
         fbytes = (bits[:frames].astype(np.int64) * counts + 7) // 8
         voffs = np.concatenate([[0], np.cumsum(fbytes)])
         fpc = cap // frame_length
-        parts = []
-        for off in range(0, n, cap):
-            f0 = off // frame_length
-            f1 = min(f0 + fpc, frames)
-            parts.append(decode(
-                min(cap, n - off), bits[f0:f1],
-                values[voffs[f0]:voffs[f1]], frame_length, bucket_frames))
-        return np.concatenate(parts)
+
+        def parts_iter():
+            for off in range(0, n, cap):
+                f0 = off // frame_length
+                f1 = min(f0 + fpc, frames)
+                yield (min(cap, n - off), bits[f0:f1],
+                       values[voffs[f0]:voffs[f1]])
+
+        return np.concatenate(
+            list(decode_chunks(parts_iter(), frame_length,
+                               bucket_frames)))
     npad = pad_to_frames(n, frame_length, bucket_frames)
     # Per-stage [TIMER] instrumentation (no-op unless the CLI enabled it):
     # stage names mirror the reference's gpuDecompress timer lines
@@ -617,3 +627,211 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         krn.append(out)
     with stage("Copy results to CPU", n):
         return np.asarray(jax.device_get(out)).view(np.uint8)[:n]
+
+
+# ---------------------------------------------------------------------------
+# Software-pipelined chunked codec (round 5).
+#
+# JAX dispatch is asynchronous: ``device_put`` and kernel calls return
+# immediately and only ``device_get`` blocks.  These generators exploit
+# that to overlap chunk k+1's H2D + kernel with chunk k's D2H + host
+# fold — a two-deep pipeline whose wall time approaches max(phase) per
+# chunk instead of the reference's fully serialized Σ(phases)
+# (``fl_gpu.cu:341,348,367`` synchronizes after every stage).  Frame-
+# aligned chunks make the outputs byte-identical to the whole-buffer
+# codec (SURVEY.md finding #3).
+# ---------------------------------------------------------------------------
+
+def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
+                  bucket_frames: int = 8192, depth: int = 2):
+    """Pipelined encode over an iterable of NumPy byte chunks (all but
+    the last must be frame-aligned).  Yields ``(bits, values)`` per
+    chunk, in order.  Speculative dispatch (uniform / stream plan) is
+    submitted asynchronously; the authoritative flags are checked at
+    drain time, one chunk later, so a miss re-runs the default program
+    without stalling the pipeline on the hit path."""
+    if frame_length % 8:
+        raise ValueError(
+            f"frame_length must be a multiple of 8, got {frame_length}")
+    from collections import deque
+
+    from .fields import fold
+
+    def submit(data):
+        data = np.asarray(data, np.uint8)
+        n = data.size
+        if n == 0:
+            return ("ready",
+                    (np.zeros(0, np.uint8), np.zeros(0, np.uint8)))
+        c = _host_constant_byte(data)
+        if c is not None:
+            return ("ready", _constant_container(c, n, frame_length))
+        npad = pad_to_frames(n, frame_length, bucket_frames)
+        buf = np.zeros(npad, np.uint8)
+        buf[:n] = data
+        frames = -(-n // frame_length)
+        if _use_dense(frame_length, npad // 4):
+            from . import fl_dense_pallas
+            wordsj = jnp.asarray(buf.view(np.uint32))     # async H2D
+            nfj = jnp.int32(frames)
+            Ru = fl_dense_pallas.DENSE_UNIFORM_TILE_R
+            fbp = (fl_dense_pallas.host_probe_uniform_b(buf, Ru)
+                   if npad % (Ru * 512) == 0 else None)
+            if fbp is not None:
+                Ru = fl_dense_pallas.uniform_tile_r(fbp, npad // 512)
+                b2, dn, flag = \
+                    fl_dense_pallas.fl_encode_dense_uniform_pallas(
+                        wordsj, nfj, fbp, tile_r=Ru,
+                        nref=fl_dense_pallas.uniform_nref(fbp, Ru))
+                return ("dense", n, frames, b2, dn.reshape(-1), flag,
+                        wordsj, nfj)
+            wq, nq = fl_dense_pallas.host_probe_route_plan(buf)
+            if wq > 1 or nq is not None:
+                b2, dn, _, _, flag = \
+                    fl_dense_pallas.fl_encode_dense_pallas(
+                        wordsj, nfj, wmin=wq, route_nbits=nq)
+                return ("dense", n, frames, b2, dn.reshape(-1), flag,
+                        wordsj, nfj)
+            b2, dn, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
+                wordsj, nfj)
+            return ("dense", n, frames, b2, dn.reshape(-1), None,
+                    None, None)
+        # base fields path (Pallas or XLA kernels): async dispatch, the
+        # host fold runs at drain — overlapping the next chunk's device
+        # work
+        bits_d, fields_d = encode_fields_device(
+            jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
+        return ("fields", n, frames, bits_d, fields_d)
+
+    def drain(entry):
+        if entry[0] == "ready":
+            return entry[1]
+        if entry[0] == "dense":
+            from . import fl_dense_pallas
+            _, n, frames, b2, dn, flag, wordsj, nfj = entry
+            if flag is not None and int(jax.device_get(flag)) != 0:
+                # speculation miss (rare): re-run the default program
+                # on the retained device words
+                b2, dn2, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
+                    wordsj, nfj)
+                dn = dn2.reshape(-1)
+            bits = np.asarray(jax.device_get(b2)).reshape(-1)[:frames]
+            counts = np.minimum(
+                n - np.arange(frames, dtype=np.int64) * frame_length,
+                frame_length)
+            vsz = int(((bits.astype(np.int64) * counts + 7) // 8).sum())
+            values = np.asarray(
+                jax.device_get(dn[: -(-vsz // 4)])).view(np.uint8)[:vsz]
+            return bits, values
+        _, n, frames, bits_d, fields_d = entry
+        wpf = frame_length // 4
+        bits = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
+        fields_h = np.asarray(jax.device_get(fields_d))[: frames * wpf]
+        return bits, fold(fields_h, bits, n, frame_length)
+
+    pending = deque()
+    for data in chunks:
+        pending.append(submit(data))
+        if len(pending) >= depth:
+            yield drain(pending.popleft())
+    while pending:
+        yield drain(pending.popleft())
+
+
+def decode_chunks(parts, frame_length: int = FRAME_LENGTH,
+                  bucket_frames: int = 8192, depth: int = 2):
+    """Pipelined decode over an iterable of ``(output_size, bits,
+    values)`` frame-aligned container chunks.  Yields decoded u8 arrays
+    in order.  Per-chunk dispatch is exact (widths header known), so
+    there are no drain-time re-runs."""
+    if frame_length % 8:
+        raise ValueError(
+            f"frame_length must be a multiple of 8, got {frame_length}")
+    from collections import deque
+
+    from .fields import unfold
+
+    def submit(n, bits, values):
+        bits = np.asarray(bits, np.uint8)
+        values = np.asarray(values, np.uint8)
+        n = int(n)
+        if n == 0 or bits.size == 0:
+            return ("ready", np.zeros(0, np.uint8))
+        frames = -(-n // frame_length)
+        if bits.size < frames:
+            raise ValueError(
+                "fl decode: corrupt container (bits array shorter than "
+                f"frame count: {bits.size} < {frames})")
+        c = host_constant_decode_probe(bits, values, n, frame_length)
+        if c is not None:
+            return ("ready", np.full(n, c, np.uint8))
+        npad = pad_to_frames(n, frame_length, bucket_frames)
+        if _use_dense_dec(frame_length, npad // 4):
+            from . import fl_dense_pallas
+            R = fl_dense_pallas.DENSE_DEC_TILE_R
+            rows = npad // 512
+            ba = bits[:frames]
+            fbu = (int(ba[0]) if ba.size and (ba == ba[0]).all() else 0)
+            Ru = (fl_dense_pallas.uniform_tile_r(fbu, rows) if fbu
+                  else 0)
+            if (fbu and rows % Ru == 0
+                    and fl_dense_pallas.uniform_kernel_available(
+                        fbu, Ru, inverse=True)):
+                Kr = fbu * Ru // 8
+                need = (rows // Ru) * Kr
+                dbuf = np.zeros(need * 512, np.uint8)
+                dbuf[: values.size] = values
+                out = fl_dense_pallas.fl_decode_dense_uniform_pallas(
+                    jnp.asarray(dbuf.view(np.uint32).reshape(need, 128)),
+                    fbu, rows, tile_r=Ru,
+                    nref=fl_dense_pallas.uniform_nref(fbu, Ru))
+                return ("dev", n, out)
+            grid = rows // R
+            fb = np.zeros(rows * 4, np.int64)
+            fb[:frames] = bits[:frames]
+            wper = fb.reshape(grid, -1).sum(axis=1) * 4
+            woffs = np.concatenate(
+                [[0], np.cumsum(wper)[:-1]]).astype(np.int32)
+            vwords = -(-values.size // 4)
+            pad_rows = vwords // 128 + R + 32
+            dbuf = np.zeros(pad_rows * 512, np.uint8)
+            dbuf[: values.size] = values
+            b2 = np.zeros((rows, 4), np.uint8)
+            b2.reshape(-1)[:frames] = bits[:frames]
+            wmin, _, dnb = fl_dense_pallas.host_route_plan(bits, frames)
+            full_dec = (7 * (R * 16 - 1) + 1024).bit_length()
+            wq, nq = fl_dense_pallas.quantize_plan(wmin, dnb, full_dec)
+            out = fl_dense_pallas.fl_decode_dense_pallas(
+                jnp.asarray(dbuf.view(np.uint32).reshape(pad_rows, 128)),
+                jnp.asarray(b2), jnp.asarray(woffs), jnp.int32(frames),
+                wmin=wq, route_nbits=nq)
+            return ("dev", n, out)
+        # fields path: host unfold at submit (overlaps the previous
+        # chunk's device work), async device decode
+        fpad = npad // frame_length
+        wpf = frame_length // 4
+        fields_h = unfold(values, bits, n, frame_length)
+        fbuf = np.zeros(fpad * wpf, np.uint32)
+        fbuf[: fields_h.size] = fields_h
+        bbuf = np.zeros(fpad, np.uint8)
+        bbuf[: bits.size] = bits
+        bprep = prep_decode_bits(bbuf, npad // 4, frame_length)
+        out = decode_fields_device(jnp.asarray(fbuf), jnp.asarray(bprep),
+                                   jnp.int32(n), frame_length)
+        return ("dev", n, out)
+
+    def drain(entry):
+        if entry[0] == "ready":
+            return entry[1]
+        _, n, out = entry
+        return np.ascontiguousarray(
+            np.asarray(jax.device_get(out)).reshape(-1)).view(
+                np.uint8)[:n].copy()
+
+    pending = deque()
+    for part in parts:
+        pending.append(submit(*part))
+        if len(pending) >= depth:
+            yield drain(pending.popleft())
+    while pending:
+        yield drain(pending.popleft())

@@ -49,12 +49,19 @@ def compress_fl_stream(input_path: str, output_path: str,
         suffix=".flrl.tmp")
     try:
         with open(input_path, "rb") as fin, os.fdopen(tmp_fd, "wb") as ftmp:
-            while True:
-                buf = fin.read(chunk)
-                if not buf:
-                    break
-                data = np.frombuffer(buf, np.uint8)
-                bits, values = fl_jax.encode(data, frame_length)
+            def chunks():
+                while True:
+                    buf = fin.read(chunk)
+                    if not buf:
+                        return
+                    yield np.frombuffer(buf, np.uint8)
+
+            # software-pipelined (round 5): chunk k+1's read + H2D +
+            # kernel dispatch overlap chunk k's D2H + spool — the drain
+            # of one chunk happens while the next is in flight
+            # (fl_jax.encode_chunks)
+            for bits, values in fl_jax.encode_chunks(chunks(),
+                                                     frame_length):
                 bits_parts.append(bits)
                 values.tofile(ftmp)
                 values_size += values.size
@@ -125,21 +132,27 @@ def decompress_fl_stream(input_path: str, output_path: str,
                 f"{-(-input_size // frame_length)})")
         frames_per_chunk = chunk // frame_length
         with open(output_path, "wb") as fout:
-            fstart = 0
-            produced = 0
-            while produced < input_size:
-                nf = min(frames_per_chunk, bits_all.size - fstart)
-                n_out = min(chunk, input_size - produced)
-                b = bits_all[fstart:fstart + nf].astype(np.int64)
-                counts = np.minimum(
-                    n_out - np.arange(nf, dtype=np.int64) * frame_length,
-                    frame_length)
-                vbytes = int(((b * counts + 7) // 8).sum())
-                values = np.frombuffer(fin.read(vbytes), np.uint8)
-                out = fl_jax.decode(n_out, bits_all[fstart:fstart + nf],
-                                    values, frame_length)
+            state = {"fstart": 0, "produced": 0}
+
+            def parts():
+                while state["produced"] < input_size:
+                    nf = min(frames_per_chunk,
+                             bits_all.size - state["fstart"])
+                    n_out = min(chunk, input_size - state["produced"])
+                    f0 = state["fstart"]
+                    b = bits_all[f0:f0 + nf].astype(np.int64)
+                    counts = np.minimum(
+                        n_out - np.arange(nf, dtype=np.int64)
+                        * frame_length, frame_length)
+                    vbytes = int(((b * counts + 7) // 8).sum())
+                    values = np.frombuffer(fin.read(vbytes), np.uint8)
+                    state["fstart"] += nf
+                    state["produced"] += n_out
+                    yield (n_out, bits_all[f0:f0 + nf], values)
+
+            # software-pipelined (round 5): the next chunk's read + H2D
+            # + kernel dispatch overlap this chunk's D2H + file write
+            for out in fl_jax.decode_chunks(parts(), frame_length):
                 out.tofile(fout)
-                fstart += nf
-                produced += n_out
-    if produced != input_size:  # pragma: no cover
+    if state["produced"] != input_size:  # pragma: no cover
         raise IOError("[FileIO] container truncated")

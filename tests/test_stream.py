@@ -92,3 +92,51 @@ def test_stream_cli_verify(tmp_path, capsys):
     open(comp, "wb").write(bytes(blob))
     from fl_rl_compression_mpi_tpu import stream
     assert not stream.verify_fl_stream(bad_src, comp, 128, 1)
+
+
+def test_pipelined_chunk_codec_dense_paths(monkeypatch):
+    """Round-5 software-pipelined chunked codec (encode_chunks /
+    decode_chunks): byte-exact vs fl_numpy across chunk classes —
+    constant (closed form at submit), uniform (speculative kernel,
+    flag checked at drain), uniform-miss (head uniform, tail not:
+    drain-time default re-run), mixed general, ragged tail."""
+    import numpy as np
+
+    from fl_rl_compression_mpi_tpu.ops import (fl_dense_pallas, fl_jax,
+                                               fl_numpy)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_DEC_TILE_R", 8)
+    monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 8)
+    monkeypatch.setattr(
+        fl_jax, "_use_dense",
+        lambda fl, nw: fl == 128 and nw % 1024 == 0)
+    monkeypatch.setattr(fl_jax, "_use_dense_dec", fl_jax._use_dense)
+    rng = np.random.default_rng(5)
+    ck = 128 * 64                       # frame-aligned chunk size
+    const = np.full(ck, 9, np.uint8)
+    uni = (rng.integers(0, 16, ck, np.uint8) | 8)      # uniform w4
+    miss = uni.copy()
+    miss[-128:] = 1                     # tail frame width 1 -> flag trips
+    mixed = rng.integers(0, 256, ck, np.uint8)
+    tail = rng.integers(0, 64, 777, np.uint8)          # ragged last
+    chunks = [const, uni, miss, mixed, tail]
+    data = np.concatenate(chunks)
+    parts = list(fl_jax.encode_chunks(iter(chunks), bucket_frames=8))
+    bits = np.concatenate([p[0] for p in parts])
+    values = np.concatenate([p[1] for p in parts])
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(bits, bg)
+    np.testing.assert_array_equal(values, vg)
+    # decode side: per-chunk frame ranges from the widths header
+    voffs, dparts, f0 = 0, [], 0
+    for c in chunks:
+        nf = -(-c.size // 128)
+        counts = np.minimum(
+            c.size - np.arange(nf, dtype=np.int64) * 128, 128)
+        vb = int(((bg[f0:f0 + nf].astype(np.int64) * counts + 7)
+                  // 8).sum())
+        dparts.append((c.size, bg[f0:f0 + nf], vg[voffs:voffs + vb]))
+        f0 += nf
+        voffs += vb
+    outs = list(fl_jax.decode_chunks(iter(dparts), bucket_frames=8))
+    np.testing.assert_array_equal(np.concatenate(outs), data)
