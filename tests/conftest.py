@@ -43,6 +43,32 @@ import pytest
 REFERENCE_BMP = "/root/reference/example_input/sample_1280×853.bmp"
 
 
+def pytest_addoption(parser):
+    parser.addoption(
+        "--runslow", action="store_true", default=False,
+        help="run @pytest.mark.slow tests (full tier; the default "
+             "fast tier skips the heavy interpret-mode Pallas and "
+             "2-process suites — see CLAUDE.md)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: heavy interpret-mode / multi-process test "
+                   "(skipped unless --runslow or FLRL_SLOW_TESTS=1)")
+    config.addinivalue_line(
+        "markers", "timeout(seconds): per-test SIGALRM timeout")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow") or os.environ.get("FLRL_SLOW_TESTS"):
+        return
+    skip = pytest.mark.skip(
+        reason="slow tier: pass --runslow (or FLRL_SLOW_TESTS=1)")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip)
+
+
 @pytest.hookimpl(hookwrapper=True)
 def pytest_runtest_call(item):
     """Enforce @pytest.mark.timeout(N) with SIGALRM (pytest-timeout is not

@@ -119,6 +119,7 @@ def test_rl_distributed_deterministic_given_shard_plan(mesh):
         dist.decompress_rl(d8, mesh, bucket=1024), const)
 
 
+@pytest.mark.slow
 def test_sharded_dense_decode_has_no_shape_cliffs(monkeypatch):
     """plan_shards aligns shard buffers to every dense kernel block, so
     decompress_fl takes the DENSE sharded path (never the silent
@@ -186,6 +187,7 @@ def test_sharded_dense_decode_has_no_shape_cliffs(monkeypatch):
         "uniform sharded decode path not taken (silent fallback)")
 
 
+@pytest.mark.slow
 def test_round5_dispatch_layers_sharded(monkeypatch):
     """Round-5 dist layers (VERDICT r4 item 8): encode-side stream-plan
     speculation under shard_map (hit + flag-miss fallback), the

@@ -6,6 +6,9 @@ import pytest
 
 from fl_rl_compression_mpi_tpu.ops import fl_dense_pallas, fl_numpy
 
+# Heavy interpret-mode / multi-process suite: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 R = 8  # small tiles: interpret mode
 
 

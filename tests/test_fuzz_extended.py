@@ -11,6 +11,9 @@ import pytest
 from fl_rl_compression_mpi_tpu.native import get_native
 from fl_rl_compression_mpi_tpu.ops import fl_jax, fl_numpy, rl_jax, rl_numpy
 
+# Heavy interpret-mode / multi-process suite: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 
 def _random_case(g):
     kind = g.integers(0, 5)

@@ -20,6 +20,9 @@ import pytest
 from fl_rl_compression_mpi_tpu import container
 from fl_rl_compression_mpi_tpu.ops import fl_numpy
 
+# Heavy interpret-mode / multi-process suite: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 WORKER = textwrap.dedent("""
     import os, sys
     sys.path.insert(0, {repo!r})

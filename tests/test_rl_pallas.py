@@ -12,6 +12,9 @@ import pytest
 
 from fl_rl_compression_mpi_tpu.ops import rl_jax, rl_numpy, rl_pallas
 
+# Heavy interpret-mode / multi-process suite: slow tier (see conftest).
+pytestmark = pytest.mark.slow
+
 R = 64   # tile rows under test (8192-byte tiles)
 SUB = 32  # sub-tile rows: 2 routing passes per tile (the multi-sub merge
 # path that production R=512/sub=256 and R=256/sub=128 rely on)
