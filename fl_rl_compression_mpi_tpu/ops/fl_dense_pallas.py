@@ -1207,15 +1207,22 @@ def _uniform_enc_kernel_mr(fb: int, R: int, P: int, slots):
     rows (index maps absorb the block-level placement), so the
     stride-row ladder shrinks to log2(Rb/2) rounds AND every routing
     round runs on a quarter-size working set — w4 pair 103 → 160 GB/s
-    stripped.  Same outputs/contract as :func:`_uniform_enc_kernel`."""
+    stripped.  Same outputs/contract as :func:`_uniform_enc_kernel`.
+
+    Odd widths (round 5): block k's payload is exactly Kb = fb·Rb/8
+    whole rows for ANY fb (Rb % 8 == 0), so the same ref split applies
+    with the Rb-scale flat mask plane(s) in place of the separable
+    lane/row masks — one mask input instead of two."""
     Rb = R // P
     Kb = fb * Rb // 8
+    odd = fb not in FAST_BS
 
     def kernel(*refs):
         nf_ref = refs[0]
         ins = refs[1:1 + P]
-        lm_ref, rm_ref = refs[1 + P], refs[2 + P]
-        bits_ref, out_ref, flag_ref = refs[3 + P:6 + P]
+        nmask = 1 if odd else 2
+        mrefs = refs[1 + P:1 + P + nmask]
+        bits_ref, out_ref, flag_ref = refs[1 + P + nmask:4 + P + nmask]
         i = pl.program_id(0)
 
         @pl.when(i == 0)
@@ -1242,8 +1249,11 @@ def _uniform_enc_kernel_mr(fb: int, R: int, P: int, slots):
                       | (((w >> 16) & jnp.uint32(0xFF)) << (2 * fb))
                       | ((w >> 24) << (3 * fb)))
                 pk = _pack_groups_b(sp, fb)
-                pay = _uniform_place(pk, fb, Rb, lm_ref[...],
-                                     rm_ref[...], slots)
+                if odd:
+                    pay = _flat_place(pk, fb, mrefs[0][...], slots)
+                else:
+                    pay = _uniform_place(pk, fb, Rb, mrefs[0][...],
+                                         mrefs[1][...], slots)
             outs.append(pay[:Kb])
         flag_ref[0] = flag_ref[0] | bad.astype(jnp.int32)
         bits_ref[...] = jnp.concatenate(bits_parts, axis=0)
@@ -1322,11 +1332,25 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
     Kr = fb * R // 8
     rows = nw // LANES
     if nref > 1:
-        assert fb in (1, 2, 4) and R % (8 * nref) == 0
+        assert fb in (1, 2, 3, 4, 5, 6, 7) and R % (8 * nref) == 0
         Rb = R // nref
         Kb = fb * Rb // 8
-        lw, rw, slots = _uniform_place_masks(Rb)
-        assert slots is not None
+        if fb in FAST_BS:
+            lw, rw, slots = _uniform_place_masks(Rb)
+            assert slots is not None
+            mask_arrs = [jnp.asarray(lw), jnp.asarray(rw)]
+            mask_specs = [
+                pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rb, rw.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+        else:
+            fpw, slots = _odd_single_masks(Rb, fb)
+            assert slots is not None
+            mask_arrs = [jnp.asarray(fpw)]
+            mask_specs = [
+                pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
         w2d = words.reshape(rows, LANES)
         bits2d, dense, flag = pl.pallas_call(
             _uniform_enc_kernel_mr(fb, R, nref, slots),
@@ -1336,10 +1360,7 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
                             lambda i, k=k: (nref * i + k, 0),
                             memory_space=pltpu.VMEM)
                for k in range(nref)]
-            + [pl.BlockSpec((1, LANES), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM),
-               pl.BlockSpec((Rb, rw.shape[1]), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)],
+            + mask_specs,
             out_specs=[
                 pl.BlockSpec((R, 4), lambda i: (i, 0),
                              memory_space=pltpu.VMEM),
@@ -1358,7 +1379,7 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
                 dimension_semantics=("arbitrary",)),
             interpret=_interpret(),
         )(jnp.asarray(n_frames, jnp.int32).reshape(1),
-          *((w2d,) * nref), jnp.asarray(lw), jnp.asarray(rw))
+          *((w2d,) * nref), *mask_arrs)
         return bits2d, dense, flag[0]
     lw, rw, slots = _uniform_place_masks(R)
     if fb in FAST_BS:
@@ -1406,22 +1427,28 @@ def fl_encode_dense_uniform_pallas(words: jax.Array, n_frames: jax.Array,
 
 def _uniform_dec_kernel_mr(fb: int, R: int, P: int, slots):
     """Multi-ref single-width decode (see :func:`_uniform_enc_kernel_mr`):
-    P refs of Kb dense rows each, unplaced at the R/P scale."""
+    P refs of Kb dense rows each, unplaced at the R/P scale (odd widths
+    use the Rb-scale flat plane(s) — round 5)."""
     Rb = R // P
     Kb = fb * Rb // 8
+    odd = fb not in FAST_BS
 
     def kernel(*refs):
         ins = refs[:P]
-        lm_ref, rm_ref = refs[P], refs[P + 1]
-        out_ref = refs[P + 2]
+        nmask = 1 if odd else 2
+        mrefs = refs[P:P + nmask]
+        out_ref = refs[P + nmask]
         mask = jnp.uint32((1 << fb) - 1)
         outs = []
         for k in range(P):
             y = jnp.concatenate(
                 [ins[k][...].astype(jnp.uint32),
                  jnp.zeros((Rb - Kb, LANES), jnp.uint32)], axis=0)
-            y = _uniform_unplace(y, fb, Rb, lm_ref[...], rm_ref[...],
-                                 slots)
+            if odd:
+                y = _flat_unplace(y, fb, mrefs[0][...], slots)
+            else:
+                y = _uniform_unplace(y, fb, Rb, mrefs[0][...],
+                                     mrefs[1][...], slots)
             f = _unpack_groups_b(y, fb)
             s1 = f >> fb
             s2 = s1 >> fb
@@ -1476,11 +1503,25 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
     grid = rows_out // R
     Kr = fb * R // 8
     if nref > 1:
-        assert fb in (1, 2, 4) and R % (8 * nref) == 0
+        assert fb in (1, 2, 3, 4, 5, 6, 7) and R % (8 * nref) == 0
         Rb = R // nref
         Kb = fb * Rb // 8
-        lw, rw, slots = _uniform_unplace_masks(Rb)
-        assert slots is not None
+        if fb in FAST_BS:
+            lw, rw, slots = _uniform_unplace_masks(Rb)
+            assert slots is not None
+            mask_arrs = [jnp.asarray(lw), jnp.asarray(rw)]
+            mask_specs = [
+                pl.BlockSpec((1, LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((Rb, rw.shape[1]), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
+        else:
+            fpw, slots = _odd_single_masks(Rb, fb, inverse=True)
+            assert slots is not None
+            mask_arrs = [jnp.asarray(fpw)]
+            mask_specs = [
+                pl.BlockSpec((fpw.shape[0], LANES), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM)]
         need = grid * Kr
         assert dense2d.shape[0] >= need, (dense2d.shape, need)
         src = dense2d[:need] if dense2d.shape[0] % Kb else dense2d
@@ -1491,10 +1532,7 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
                                    lambda i, k=k: (nref * i + k, 0),
                                    memory_space=pltpu.VMEM)
                       for k in range(nref)]
-            + [pl.BlockSpec((1, LANES), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM),
-               pl.BlockSpec((Rb, rw.shape[1]), lambda i: (0, 0),
-                            memory_space=pltpu.VMEM)],
+            + mask_specs,
             out_specs=pl.BlockSpec((R, LANES), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((rows_out, LANES),
@@ -1502,7 +1540,7 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
             compiler_params=pltpu.CompilerParams(
                 dimension_semantics=("parallel",)),
             interpret=_interpret(),
-        )(*((src,) * nref), jnp.asarray(lw), jnp.asarray(rw))
+        )(*((src,) * nref), *mask_arrs)
     lw, rw, slots = _uniform_unplace_masks(R)
     if fb in FAST_BS:
         assert slots is not None

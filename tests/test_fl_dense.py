@@ -877,7 +877,7 @@ def test_uniform_multiref_kernels_bit_exact():
     nref=1 — golden bytes, true widths, authoritative flag."""
     g = np.random.default_rng(77)
     Rt = 32                       # Rb = Rt/nref must stay a multiple of 8
-    for fb in (1, 2, 4):
+    for fb in (1, 2, 3, 4, 5, 7):     # odd widths: round-5 flat-plane mr
         for nref in (2, 4):
             n = Rt * 512 * 3 + 301
             npad = -(-n // (Rt * 512)) * (Rt * 512)
