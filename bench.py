@@ -383,6 +383,7 @@ def main() -> int:
             out_specs=pl.BlockSpec((2048, 128), lambda i: (i, 0),
                                    memory_space=pltpu.VMEM),
             out_shape=jax.ShapeDtypeStruct((nrows_c, 128), jnp.uint32),
+            interpret=jax.default_backend() != "tpu",
         )(w.reshape(nrows_c, 128))
 
     @functools.partial(jax.jit, static_argnames=("k",))
@@ -707,11 +708,13 @@ def main() -> int:
 
     def arm_dense_zeros():
         if not _dense_setup():
+            SKIPPED.append("dense_zeros")
             return
         dense_arm("_zeros", np.zeros(npad, np.uint8))
 
     def arm_dense_w8():
         if not _dense_setup():
+            SKIPPED.append("dense_w8")
             return
         w8b = rng.integers(0, 256, npad, np.uint8)
         w8b[::64] |= 128            # pin every frame at width 8
@@ -799,6 +802,7 @@ def main() -> int:
 
     def arm_rl_zeros():
         if not rl_ctx.get("ok"):
+            SKIPPED.append("rl_zeros")
             return
         nrl, rows_rl = rl_ctx["nrl"], rl_ctx["rows"]
         rl_chain = rl_ctx["chain"]
