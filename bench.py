@@ -75,6 +75,18 @@ def emit():
 
 def _flush_and_exit(signum, frame):
     log(f"signal {signum} received — flushing JSON and exiting")
+    if "value" not in RESULT:
+        # killed before the first measurement completed (on this
+        # platform a session's FIRST device dispatch can stall 10-30
+        # min on the tunnel claim — FINDINGS §Round-4).  An explicit
+        # error record beats parsed:null — the capture is diagnosable.
+        RESULT.setdefault("metric", "fl_kernel_throughput")
+        RESULT["unit"] = "GB/s"
+        RESULT["value"] = 0.0
+        RESULT["vs_baseline"] = 0.0
+        RESULT["error"] = (f"killed at +{time.perf_counter() - T0:.0f}s "
+                           "before first measurement (tunnel claim "
+                           "stall, not a kernel failure)")
     emit()
     # os._exit: no atexit/JAX teardown (the tunnel teardown can hang)
     os._exit(0 if _EMITTED[0] else 1)
@@ -95,6 +107,23 @@ def main() -> int:
         signal.signal(sig, _flush_and_exit)
     # hard backstop: even a wedged tunnel call gets interrupted
     signal.alarm(int(budget) + 240)
+    # Python signal handlers run on the MAIN thread between bytecodes —
+    # a device_get blocked inside the tunnel's C code defers them
+    # indefinitely (observed: a TERMed run lingered >10 min inside the
+    # first H2D fence).  A watchdog THREAD is immune: it flushes
+    # whatever JSON exists at the budget and hard-exits, so the driver
+    # gets a parseable line even when the main thread is wedged.
+    import threading
+
+    done = threading.Event()
+
+    def _watchdog():
+        done.wait(budget + 60)
+        if not done.is_set():
+            log("watchdog fired — main thread still busy/wedged")
+            _flush_and_exit(0, None)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     def remaining():
         return budget - (time.perf_counter() - T0)
@@ -974,6 +1003,7 @@ def main() -> int:
                           "error": "round-trip mismatch"}))
         return 1
 
+    done.set()
     if not args.json_only:
         print(f"# fl size={args.size_mb}MiB ratio={ratio:.4f} "
               f"headline={RESULT.get('chained_pair_gbps')} GB/s "
