@@ -495,6 +495,15 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         from ..utils.timers import stage
         with stage("Decompression", n):      # --timers parity
             return np.full(n, c, np.uint8)
+    # Width-8 IDENTITY fast path (round 5): packing bytes at width 8 is
+    # the identity, so an all-8 widths header means the payload IS the
+    # output — one memcpy, no device round trip.  This is the
+    # incompressible-stream class (already-compressed inputs).
+    ba = bits[:frames]
+    if ba.size and values.size >= n and bool((ba == 8).all()):
+        from ..utils.timers import stage
+        with stage("Decompression", n):
+            return values[:n].copy()
     cap = _device_cap(frame_length)
     if n > cap:
         # per-chunk value offsets from the widths header (the same

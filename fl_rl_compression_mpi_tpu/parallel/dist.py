@@ -702,6 +702,12 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
                                           frame_length)
     if c is not None:
         return np.full(n, c, np.uint8)
+    # width-8 identity (round 5): all-8 widths ⇒ payload == output.
+    frames_all = -(-n // frame_length)
+    ba8 = comp.bits[:frames_all]
+    if (ba8.size == frames_all and comp.values.size >= n
+            and bool((ba8 == 8).all())):
+        return comp.values[:n].copy()
     step = _superchunks(n, n_dev, frame_length)
     if step:
         frames = -(-n // frame_length)

@@ -84,9 +84,19 @@ def main() -> int:
                          "it the streaming merge moves the whole decoded "
                          "file through allgather, a process-count-"
                          "independent cost that flatlines decompress.")
+    ap.add_argument("--synth-codec", action="store_true",
+                    help="FLRL_SYNTH_CODEC=1: width-8 identity codec — "
+                         "near-zero codec cost, so the row measures the "
+                         "DCN/streaming-merge + write path in isolation "
+                         "from shared-core compute (the loopback codec "
+                         "is compute-bound on 4 cores and masks merge "
+                         "scaling).  Decode uses the real w8 identity "
+                         "fast path; round-trip stays byte-checked.")
     args = ap.parse_args()
     if args.shared_fs:
         os.environ["FLRL_SHARED_FS"] = "1"
+    if args.synth_codec:
+        os.environ["FLRL_SYNTH_CODEC"] = "1"
 
     import numpy as np
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
@@ -123,6 +133,7 @@ def main() -> int:
                   == 0)
             row = {"np": np_, "method": args.method,
                    "shared_fs": bool(args.shared_fs),
+                   "synth_codec": bool(args.synth_codec),
                    "size_mb": args.size_mb,
                    "compress_s": round(wall_c, 2),
                    "compress_gbps": round(n / 1e9 / wall_c, 3),

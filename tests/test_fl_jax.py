@@ -128,3 +128,22 @@ def test_fl_encode_rejects_unaligned_frame_length():
     with pytest.raises(ValueError, match="multiple of 8"):
         fl_jax.decode(100, np.ones(1, np.uint8), np.ones(13, np.uint8),
                       frame_length=100)
+
+
+def test_w8_identity_decode_fast_path():
+    """Round-5: an all-8 widths header means the payload IS the output
+    (width-8 packing is the identity) — the host decode returns one
+    memcpy with no device work, byte-exact with the golden decoder."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax, fl_numpy
+    rng = np.random.default_rng(8)
+    for n in (128 * 64, 128 * 64 + 77):
+        data = rng.integers(0, 256, n, np.uint8)
+        data[::128] |= 128          # pin every frame at width 8
+        bits, values = fl_numpy.encode(data)
+        assert int(bits.max()) == 8 and int(bits.min()) == 8
+        np.testing.assert_array_equal(fl_jax.decode(n, bits, values),
+                                      data)
+        from fl_rl_compression_mpi_tpu.parallel import dist
+        comp = dist.FLCompressed(bits, values, n)
+        np.testing.assert_array_equal(
+            dist.decompress_fl(comp, dist.make_mesh(2)), data)

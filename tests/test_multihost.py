@@ -46,3 +46,29 @@ def test_decompress_fl_file_single_process(tmp_path):
 
 def test_init_distributed_noop():
     multihost.init_distributed(None)  # single-process: no-op
+
+
+def test_synth_codec_width8_identity(tmp_path, monkeypatch):
+    """FLRL_SYNTH_CODEC=1 (round 5, DCN-isolating bench mode): the
+    per-rank encode is replaced with the width-8 identity container —
+    still a VALID container that the real decoder round-trips."""
+    import numpy as np
+
+    from fl_rl_compression_mpi_tpu.parallel import multihost
+    monkeypatch.setenv("FLRL_SYNTH_CODEC", "1")
+    rng = np.random.default_rng(4)
+    data = rng.integers(0, 16, 128 * 300 + 9, np.uint8)
+    src = tmp_path / "in.bin"
+    out = tmp_path / "out.fl"
+    dec = tmp_path / "dec.bin"
+    data.tofile(src)
+    multihost.compress_fl_file(str(src), str(out))
+    # container: widths all 8, payload == raw bytes
+    from fl_rl_compression_mpi_tpu import container
+    comp = container.load_fl(str(out))
+    assert int(comp.bits.min()) == 8 and int(comp.bits.max()) == 8
+    np.testing.assert_array_equal(comp.values, data)
+    monkeypatch.delenv("FLRL_SYNTH_CODEC")
+    multihost.decompress_fl_file(str(out), str(dec))
+    np.testing.assert_array_equal(
+        np.fromfile(dec, np.uint8), data)
