@@ -1576,29 +1576,53 @@ def fl_decode_dense_uniform_pallas(dense2d: jax.Array, fb: int,
 
 def uniform_nref(fb: int, R: int) -> int:
     """Chip-tuned multi-ref count for the single-width kernels
-    (production-shaped A/B, exp54, 3 cycles each): w4 pair 103 → 145.5-
-    146.6 GB/s and w2 80.6 → 104.2 at nref=4 (nref=8 is worse for both:
-    118 / 77 — the per-block widths+flag overhead and the smaller
-    decode DMAs eat the extra ladder savings); w1 LOSES at nref=8
-    (64-68 vs 74-77) and is unmeasured at 4, so it stays single-ref;
-    w8 is identity placement and odd widths use non-separable flat
-    planes.  Requires R/nref to stay a multiple of 8."""
-    if fb in (2, 4) and R % 32 == 0:
+    (production-shaped A/B: exp54 at R=1024, exp55 a/b extend the grid
+    to nref=2, R=2048, and the round-5 odd-width flat-plane mr; 3
+    cycles each, 128 MiB pairs, medians):
+
+    ========== R=1024 ================== R=2048 =============
+    w1  74 → 88 (nref=2)           97  (nref=4)   ← new best
+    w2  81 → 103 (nref=4)          113 (nref=4)   ← new best
+    w3  99 → 106 (nref=2) / 107 (nref=4)          (R=2048 unmeasured)
+    w4  104 → 145 (nref=4)         152 (4) / 155 (nref=8) ← new best
+    w5  102 → 107 (nref=4)                        (R=2048 unmeasured)
+    ==========================================================
+
+    nref=8 at R=1024 was REFUTED in exp54 (w4 118, w2 77, w1 65-68);
+    w6/w7 are unmeasured and stay single-ref (the r4 rule: never raise
+    nref without a same-session production-shaped A/B); w8 is identity
+    placement.  Requires R % (8·nref) == 0."""
+    if fb == 4:
+        if R >= 2048 and R % 64 == 0:
+            return 8
+        if R % 32 == 0:
+            return 4
+    if fb == 2 and R % 32 == 0:
+        return 4
+    if fb == 1:
+        if R >= 2048 and R % 32 == 0:
+            return 4
+        if R % 16 == 0:
+            return 2
+    if fb in (3, 5) and R % 32 == 0:
         return 4
     return 1
 
 
 def uniform_tile_r(fb: int, rows: int | None = None) -> int:
-    """Per-width tile size for the stripped single-width kernels (chip
-    A/B, exp48 STAGE=uni, 3 cycles): w8 pairs 300-336 GB/s at R=2048 vs
-    266-301 at R=1024 (identity placement — bigger blocks amortize the
-    fixed costs without extra rounds), while w4 LOSES at 2048 (89.6-90.8
-    vs 97-99: the ~12 placement rounds, not block size, bound it) and
-    w1 is flat (68.5-68.7 vs 68.7-72).  So fb=8 gets 2048 when the
-    buffer allows (``rows`` divisible), everything else keeps the
-    DENSE_UNIFORM_TILE_R default."""
+    """Per-width tile size for the stripped single-width kernels.
+    Round-4 (exp48): w8 wins at R=2048 (300-336 vs 266-301 — identity
+    placement amortizes fixed cost) while SINGLE-ref w4 loses there
+    (90 vs 97-99).  Round-5 (exp55a/b): WITH multi-ref the picture
+    flips — the per-round working set is Rb = R/nref, so R=2048 blocks
+    amortize DMA/fixed cost without growing the routing working set:
+    w4 145→152-155, w2 103→113, w1 88→97.  So every power-of-two width
+    takes 2048 when the buffer divides (``uniform_nref`` supplies the
+    matching nref); odd widths keep the default (R=2048 unmeasured
+    there)."""
     base = DENSE_UNIFORM_TILE_R
-    if fb == 8 and base == 1024 and (rows is None or rows % 2048 == 0):
+    if (fb in FAST_BS and base == 1024
+            and (rows is None or rows % 2048 == 0)):
         return 2048
     return base
 

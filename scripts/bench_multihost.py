@@ -56,9 +56,12 @@ def run_cli(np_, cli_args, rssdir, tag):
     t0 = time.perf_counter()
     for i in range(np_):
         e = dict(env, FLRL_RSS_OUT=f"{rssdir}/{tag}_{i}.rss")
-        extra = ([] if np_ == 1 else
-                 ["--coordinator", f"localhost:{port}",
-                  "--num-processes", str(np_), "--process-id", str(i)])
+        # np=1 goes through the SAME multihost driver (coordinator with
+        # one process) so rows are path-comparable — without this the
+        # np=1 row measured the plain single-process codec and the
+        # synth-codec mode never engaged there
+        extra = ["--coordinator", f"localhost:{port}",
+                 "--num-processes", str(np_), "--process-id", str(i)]
         procs.append(subprocess.Popen(
             [sys.executable, "-c", WRAP, *cli_args, *extra], env=e,
             stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL))

@@ -913,11 +913,19 @@ def test_uniform_multiref_kernels_bit_exact():
 
 
 def test_uniform_nref_dispatch_table():
-    """exp54's chip-tuned selection: nref=4 for widths {2,4} at
-    32-row-divisible tiles; everything else single-ref."""
+    """exp54/exp55 chip-tuned selection (see uniform_nref docstring):
+    R=2048 engages deeper splits for pow2 widths; odd w3/w5 take
+    nref=4 at 1024; w6/w7 unmeasured stay single-ref."""
     f = fl_dense_pallas.uniform_nref
-    assert f(4, 1024) == 4 and f(2, 1024) == 4
-    assert f(1, 1024) == 1          # measured loss at 8, unmeasured at 4
+    assert f(4, 2048) == 8 and f(4, 1024) == 4
+    assert f(2, 2048) == 4 and f(2, 1024) == 4
+    assert f(1, 2048) == 4 and f(1, 1024) == 2
     assert f(8, 2048) == 1          # identity placement
-    assert f(3, 1024) == 1          # odd widths: flat planes
+    assert f(3, 1024) == 4 and f(5, 1024) == 4
+    assert f(6, 1024) == 1 and f(7, 1024) == 1   # unmeasured
     assert f(4, 8) == 1             # R/nref must stay a multiple of 8
+    g = fl_dense_pallas.uniform_tile_r
+    if fl_dense_pallas.DENSE_UNIFORM_TILE_R == 1024:
+        assert g(4, 1 << 20) == 2048 and g(1, 1 << 20) == 2048
+        assert g(3, 1 << 20) == 1024          # odd: 2048 unmeasured
+        assert g(4, 1024) == 1024             # rows must divide
