@@ -64,12 +64,21 @@ DEC_SUB_ROWS = 128
 # bigger tiles, and the wide two-array networks remove the per-sub merge
 # ladders that made big tiles lose in exp13).
 WIDE_ROWS = int(os.environ.get("FLRL_RL_WIDE_ROWS", "1024"))
+# Encode-side goes wider still (round 5, chip A/B exp56, 3 cycles):
+# R=2048 single-sub encode pairs 7.46 -> 8.42 GB/s on run-structured
+# streams (+13%) and 78 -> 82 on zeros, a wash (-1.6%) on the
+# half-constant mix.  Decode stays at WIDE_ROWS (its window DMA grows
+# with the tile; unmeasured at 2048).
+ENC_WIDE_ROWS = int(os.environ.get("FLRL_RL_ENC_WIDE_ROWS", "2048"))
 
 
 def encode_tile_rows(rows: int) -> int:
-    """Adaptive encode tile: one WIDE single-sub tile when the buffer
-    divides, else the r3 default (see WIDE_ROWS note)."""
-    return WIDE_ROWS if WIDE_ROWS and rows % WIDE_ROWS == 0 else TILE_ROWS
+    """Adaptive encode tile: the widest single-sub tile the buffer
+    divides (see WIDE_ROWS/ENC_WIDE_ROWS notes), else the r3 default."""
+    for w in (ENC_WIDE_ROWS, WIDE_ROWS):
+        if w and rows % w == 0:
+            return w
+    return TILE_ROWS
 
 
 def decode_tile_rows(rows_out: int) -> int:

@@ -201,8 +201,10 @@ def test_adaptive_tile_selection():
     buffer divides (exp49: slow paths a wash, constant regions ~2x),
     and the hint contract: decode_window_rows must be computed for the
     tile size the decode picks."""
-    assert rl_pallas.encode_tile_rows(rl_pallas.WIDE_ROWS * 4) \
-        == rl_pallas.WIDE_ROWS
+    assert rl_pallas.encode_tile_rows(rl_pallas.ENC_WIDE_ROWS * 2) \
+        == rl_pallas.ENC_WIDE_ROWS          # round 5: encode goes 2048
+    assert rl_pallas.encode_tile_rows(rl_pallas.WIDE_ROWS * 3) \
+        == rl_pallas.WIDE_ROWS              # 3072 % 2048 != 0 -> 1024
     assert rl_pallas.encode_tile_rows(rl_pallas.WIDE_ROWS * 4 + 256) \
         == rl_pallas.TILE_ROWS
     assert rl_pallas.decode_tile_rows(rl_pallas.WIDE_ROWS * 2) \
