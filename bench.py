@@ -350,6 +350,18 @@ def main() -> int:
         return wmax <= 4 and (npad // 4) % (pt * 128) == 0
 
     def set_headline(frac, rate, et, dt, chain):
+        # Physics bound: a chain can never beat its own nominal
+        # memory-bandwidth SOL.  A full-bench run measured the pack-2
+        # chain at 806 GB/s (1.48 of its 546 GB/s bound) — a degenerate
+        # tunnel sample that the fraction ranking then PREFERRED.
+        # Refuse impossible rates; the caller keeps the previous honest
+        # headline (or tries another candidate).
+        if rate > sol_nominal_of(et) * 1.02:
+            RESULT["degenerate_samples"] = (
+                RESULT.get("degenerate_samples", 0) + 1)
+            log(f"REJECT degenerate sample: {rate:.1f} GB/s > nominal "
+                f"SOL {sol_nominal_of(et):.1f} for tiles ({et},{dt})")
+            return False
         state.update(frac=frac, rate=rate, et=et, dt=dt, chain=chain)
         RESULT["chain_tiles"] = [et, dt]
         RESULT["chain_pack"] = 2 if et < 0 else 1
@@ -366,6 +378,7 @@ def main() -> int:
         sol = min(sol_nominal_of(et), max(sol_of(et), rate))
         RESULT["value"] = round(rate, 2)
         RESULT["vs_baseline"] = round(rate / sol, 4)
+        return True
 
     if not use_pallas:
         # XLA fallback (tiny sizes / CPU smoke): per-op probes only.
@@ -444,6 +457,15 @@ def main() -> int:
         log(f"quick chain probe tiles=({et},{dt}) ...")
         t = timed_chain(c, words, inner=10, reps=2)
         rate = 2 * n / 1e9 / t
+        if rate > sol_nominal_of(et) * 1.02:
+            t = timed_chain(c, words, inner=10, reps=2)   # re-probe
+            rate = 2 * n / 1e9 / t
+            if rate > sol_nominal_of(et) * 1.02:
+                log(f"quick candidate ({et},{dt}) degenerate: "
+                    f"{rate:.1f} GB/s — clamped to nominal")
+                RESULT["degenerate_samples"] = (
+                    RESULT.get("degenerate_samples", 0) + 1)
+                rate = sol_nominal_of(et)     # last-resort clamp
         frac = rate / sol_of(et)
         if best is None or frac > best[0]:
             best = (frac, rate, et, dt, c)
@@ -465,9 +487,13 @@ def main() -> int:
                               "vs_baseline": 0.0,
                               "error": "round-trip mismatch"}))
             return 1
-    # medium-length confirmation run for the early print
+    # medium-length confirmation run for the early print (ignore a
+    # degenerate confirmation — the probe rate stands)
     t_pair = timed_chain(c, words, inner=32, reps=3)
-    rate = max(rate, 2 * n / 1e9 / t_pair)
+    r2 = 2 * n / 1e9 / t_pair
+    if r2 <= sol_nominal_of(et) * 1.02:
+        rate = max(rate, r2)
+    rate = min(rate, sol_nominal_of(et))
     set_headline(rate / sol_of(et), rate, et, dt, c)
     log(f"HEADLINE (quick): {rate:.1f} GB/s vs_baseline="
         f"{RESULT['vs_baseline']}")
@@ -486,6 +512,19 @@ def main() -> int:
         for et0, dt0, c0 in candidates:
             t = timed_chain(c0, words, inner=12, reps=3)
             r0 = 2 * n / 1e9 / t
+            if r0 > sol_nominal_of(et0) * 1.02:
+                # impossible rate (above the chain's own memory
+                # bound): degenerate tunnel sample — one re-probe,
+                # then drop the candidate rather than let the
+                # fraction ranking prefer it
+                t = timed_chain(c0, words, inner=12, reps=3)
+                r0 = 2 * n / 1e9 / t
+                if r0 > sol_nominal_of(et0) * 1.02:
+                    log(f"drop degenerate candidate ({et0},{dt0}): "
+                        f"{r0:.1f} GB/s")
+                    RESULT["degenerate_samples"] = (
+                        RESULT.get("degenerate_samples", 0) + 1)
+                    continue
             scored.append((r0 / sol_of(et0), r0, et0, dt0, c0))
         scored.sort(key=lambda x: -x[0])
         finals = []
@@ -499,6 +538,12 @@ def main() -> int:
                           timed_chain(c0, words, inner=64,
                                       reps=args.reps))
                 r_f = 2 * n / 1e9 / t_f
+            if r_f > sol_nominal_of(et0) * 1.02:
+                log(f"drop degenerate finalist ({et0},{dt0}): "
+                    f"{r_f:.1f} GB/s")
+                RESULT["degenerate_samples"] = (
+                    RESULT.get("degenerate_samples", 0) + 1)
+                continue
             finals.append((r_f / sol_of(et0), r_f, et0, dt0, c0))
         finals.sort(key=lambda x: -x[0])
         if finals and finals[0][0] > state["frac"]:
