@@ -774,6 +774,10 @@ def decode_chunks(parts, frame_length: int = FRAME_LENGTH,
         c = host_constant_decode_probe(bits, values, n, frame_length)
         if c is not None:
             return ("ready", np.full(n, c, np.uint8))
+        ba = bits[:frames]
+        if ba.size and values.size >= n and bool((ba == 8).all()):
+            # width-8 identity (round 5): payload IS the output
+            return ("ready", values[:n].copy())
         npad = pad_to_frames(n, frame_length, bucket_frames)
         if _use_dense_dec(frame_length, npad // 4):
             from . import fl_dense_pallas
