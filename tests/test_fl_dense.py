@@ -612,14 +612,16 @@ def test_host_decode_uniform_odd_dispatch(monkeypatch):
 
 
 def test_per_width_uniform_tile_dispatch(monkeypatch):
-    """uniform_tile_r picks R=2048 for w8 when the buffer divides (chip
-    A/B exp48: w8 300-336 at 2048 vs 266-301 at 1024) and keeps the
-    base tile otherwise; fl_jax.decode dispatches accordingly."""
+    """uniform_tile_r picks R=2048 for pow2 widths when the buffer
+    divides (exp48 for w8; round-5 exp55: w4/w2/w1 win at 2048 with
+    their multi-ref nref — see uniform_nref) and keeps the base tile
+    otherwise; fl_jax.decode dispatches accordingly."""
     from fl_rl_compression_mpi_tpu.ops import fl_jax
     assert fl_dense_pallas.uniform_tile_r(8, 4096) == 2048
     assert fl_dense_pallas.uniform_tile_r(8, 3072) == 1024  # not % 2048
-    assert fl_dense_pallas.uniform_tile_r(4, 4096) == 1024  # w4 loses
-    assert fl_dense_pallas.uniform_tile_r(1, 4096) == 1024
+    assert fl_dense_pallas.uniform_tile_r(4, 4096) == 2048  # r5: mr wins
+    assert fl_dense_pallas.uniform_tile_r(1, 4096) == 2048
+    assert fl_dense_pallas.uniform_tile_r(3, 4096) == 1024  # odd: base
     # end-to-end: small tiles so interpret mode stays fast — base 16,
     # w8 upgrades to 32 when rows divide
     monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 16)
