@@ -642,14 +642,29 @@ def test_per_width_uniform_tile_dispatch(monkeypatch):
 
     monkeypatch.setattr(fl_dense_pallas,
                         "fl_decode_dense_uniform_pallas", spy)
+    # NOTE: a w8 stream no longer reaches the device decoder at all —
+    # the round-5 width-8 identity fast path answers with a host
+    # memcpy — so the tile-upgrade spy watches a w4 stream (the
+    # monkeypatched uniform_tile_r above upgrades it to 32-row tiles).
+    monkeypatch.setattr(
+        fl_dense_pallas, "uniform_tile_r",
+        lambda fb, rows=None: 32 if fb in (4, 8) and (
+            rows is None or rows % 32 == 0) else 16)
     g = np.random.default_rng(66)
     n = 32 * 512 * 4 * 16 + 3           # rows divisible by 32
-    data = g.integers(0, 256, n).astype(np.uint8)
-    data[::64] |= 128                    # every frame width 8
+    data = (g.integers(0, 16, n) | 8).astype(np.uint8)   # width 4
     bits, values = fl_numpy.encode(data)
     out = fl_jax.decode(n, bits, values, bucket_frames=256)
     np.testing.assert_array_equal(out, data)
     assert calls and calls[0] == 32, calls
+    # and the w8 identity path itself: device decoder NOT called
+    calls.clear()
+    data8 = g.integers(0, 256, n).astype(np.uint8)
+    data8[::64] |= 128                   # every frame width 8
+    bits8, values8 = fl_numpy.encode(data8)
+    out8 = fl_jax.decode(n, bits8, values8, bucket_frames=256)
+    np.testing.assert_array_equal(out8, data8)
+    assert not calls, calls
 
 
 # ---------------------------------------------------------------------------
