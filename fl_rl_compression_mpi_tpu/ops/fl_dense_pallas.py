@@ -1581,17 +1581,19 @@ def uniform_nref(fb: int, R: int) -> int:
     cycles each, 128 MiB pairs, medians):
 
     ========== R=1024 ================== R=2048 =============
-    w1  74 → 88 (nref=2)           97  (nref=4)   ← new best
-    w2  81 → 103 (nref=4)          113 (nref=4)   ← new best
-    w3  99 → 106 (nref=2) / 107 (nref=4)          (R=2048 unmeasured)
-    w4  104 → 145 (nref=4)         152 (4) / 155 (nref=8) ← new best
-    w5  102 → 107 (nref=4)                        (R=2048 unmeasured)
+    w1  74 → 88 (nref=2)           97-104 (nref=4)  ← best
+    w2  81 → 103 (nref=4)          112-120 (nref=4) ← best
+    w3  99 → 107 (nref=4)          112-113 (nref=4) ← best
+    w4  104 → 145 (nref=4)         156-158 (nref=8) ← best
+    w5  102 → 107 (nref=4)         111-113 (nref=4) ← best
+    w6  120-122 (nref 1 ≈ 4: wash → single-ref)
+    w7  108-113 (nref=1; 4 slightly worse → single-ref)
     ==========================================================
 
-    nref=8 at R=1024 was REFUTED in exp54 (w4 118, w2 77, w1 65-68);
-    w6/w7 are unmeasured and stay single-ref (the r4 rule: never raise
-    nref without a same-session production-shaped A/B); w8 is identity
-    placement.  Requires R % (8·nref) == 0."""
+    The ladder is CLOSED at both ends (exp54: nref=8 at R=1024 loses
+    everywhere; exp55c: w4 2048/16 = 121-124 (-22%), w2/w1 2048/8
+    slightly below /4); w8 is identity placement.  Requires
+    R % (8·nref) == 0."""
     if fb == 4:
         if R >= 2048 and R % 64 == 0:
             return 8
@@ -1616,12 +1618,13 @@ def uniform_tile_r(fb: int, rows: int | None = None) -> int:
     (90 vs 97-99).  Round-5 (exp55a/b): WITH multi-ref the picture
     flips — the per-round working set is Rb = R/nref, so R=2048 blocks
     amortize DMA/fixed cost without growing the routing working set:
-    w4 145→152-155, w2 103→113, w1 88→97.  So every power-of-two width
-    takes 2048 when the buffer divides (``uniform_nref`` supplies the
-    matching nref); odd widths keep the default (R=2048 unmeasured
-    there)."""
+    w4 145→152-158, w2 103→113-120, w1 88→97-104, and (exp55d) the odd
+    multi-ref widths too: w3 107→112, w5 107→112.  So every width with
+    a multi-ref win — {1,2,3,4,5} — plus identity w8 takes 2048 when
+    the buffer divides (``uniform_nref`` supplies the matching nref);
+    w6/w7 (single-ref, wash at nref=4) keep the default."""
     base = DENSE_UNIFORM_TILE_R
-    if (fb in FAST_BS and base == 1024
+    if (fb in (1, 2, 3, 4, 5, 8) and base == 1024
             and (rows is None or rows % 2048 == 0)):
         return 2048
     return base
@@ -1629,14 +1632,17 @@ def uniform_tile_r(fb: int, rows: int | None = None) -> int:
 
 def uniform_kernel_available(fb: int, R: int, inverse: bool = False
                              ) -> bool:
-    """True when a stripped single-width kernel exists for (fb, R)."""
+    """True when a stripped single-width kernel exists for (fb, R) at
+    the multi-ref split the dispatch table will actually use (the
+    masks live at the Rb = R/nref block scale)."""
     if fb not in UNIFORM_BS or R % 8 != 0:
         return False
+    Rb = R // uniform_nref(fb, R)
     if fb in FAST_BS:
-        masks = (_uniform_unplace_masks(R) if inverse
-                 else _uniform_place_masks(R))
+        masks = (_uniform_unplace_masks(Rb) if inverse
+                 else _uniform_place_masks(Rb))
         return masks[2] is not None
-    return _odd_single_masks(R, fb, inverse)[1] is not None
+    return _odd_single_masks(Rb, fb, inverse)[1] is not None
 
 
 def host_probe_uniform_b(data: np.ndarray,

@@ -621,7 +621,8 @@ def test_per_width_uniform_tile_dispatch(monkeypatch):
     assert fl_dense_pallas.uniform_tile_r(8, 3072) == 1024  # not % 2048
     assert fl_dense_pallas.uniform_tile_r(4, 4096) == 2048  # r5: mr wins
     assert fl_dense_pallas.uniform_tile_r(1, 4096) == 2048
-    assert fl_dense_pallas.uniform_tile_r(3, 4096) == 1024  # odd: base
+    assert fl_dense_pallas.uniform_tile_r(3, 4096) == 2048  # exp55d
+    assert fl_dense_pallas.uniform_tile_r(6, 4096) == 1024  # wash: base
     # end-to-end: small tiles so interpret mode stays fast — base 16,
     # w8 upgrades to 32 when rows divide
     monkeypatch.setattr(fl_dense_pallas, "DENSE_UNIFORM_TILE_R", 16)
@@ -944,5 +945,6 @@ def test_uniform_nref_dispatch_table():
     g = fl_dense_pallas.uniform_tile_r
     if fl_dense_pallas.DENSE_UNIFORM_TILE_R == 1024:
         assert g(4, 1 << 20) == 2048 and g(1, 1 << 20) == 2048
-        assert g(3, 1 << 20) == 1024          # odd: 2048 unmeasured
+        assert g(3, 1 << 20) == 2048          # exp55d: odd mr wins too
+        assert g(6, 1 << 20) == 1024          # w6/w7: wash, stay base
         assert g(4, 1024) == 1024             # rows must divide
