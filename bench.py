@@ -592,8 +592,16 @@ def main() -> int:
         state.update(fields_d=fields_d, bits_h=bits_h, host_ok=host_ok)
         RESULT["host_roundtrip_ok"] = host_ok
         gb = n / 1e9
-        RESULT["encode_gbps"] = round(gb / t_enc, 2)
-        RESULT["decode_gbps"] = round(gb / t_dec, 2)
+        # physics clamp: a field op reads N and writes ~N ⇒ SOL is
+        # hbm/2 input-rate; per-op probes of independent dispatches
+        # are known to overcount (FINDINGS §Round-2) — flag, don't
+        # print impossible numbers
+        for key, t in (("encode_gbps", t_enc), ("decode_gbps", t_dec)):
+            r = gb / t
+            if r > hbm_gbps / 2 * 1.02:
+                RESULT[key + "_flag"] = "degenerate-clamped"
+                r = hbm_gbps / 2
+            RESULT[key] = round(r, 2)
 
     def arm_fold():
         if state["fields_d"] is None:
@@ -936,7 +944,11 @@ def main() -> int:
             ratios.append(tb / tsh)
             t_sh_best = tsh if t_sh_best is None else min(t_sh_best, tsh)
         eff = float(np.median(ratios))
-        RESULT["sharded_enc_gbps"] = round(n / 1e9 / t_sh_best, 1)
+        r_sh = n / 1e9 / t_sh_best
+        if r_sh > hbm_gbps / 2 * 1.02:       # physics clamp (see perop)
+            RESULT["sharded_enc_flag"] = "degenerate-clamped"
+            r_sh = hbm_gbps / 2
+        RESULT["sharded_enc_gbps"] = round(r_sh, 1)
         if 0.8 <= eff <= 1.2:
             RESULT["sharded_eff"] = round(eff, 3)
         else:
