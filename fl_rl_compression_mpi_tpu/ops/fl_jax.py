@@ -739,7 +739,17 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
         return bits, fold(fields_h, bits, n, frame_length)
 
     pending = deque()
+    tail_seen = [False]
     for data in chunks:
+        # frame alignment is the correctness invariant (SURVEY finding
+        # #3): a misaligned NON-final chunk would silently produce a
+        # different container than the whole-buffer encode — reject it
+        if tail_seen[0]:
+            raise ValueError(
+                "encode_chunks: a non-frame-aligned chunk must be the "
+                "last one")
+        if np.asarray(data).size % frame_length:
+            tail_seen[0] = True
         pending.append(submit(data))
         if len(pending) >= depth:
             yield drain(pending.popleft())

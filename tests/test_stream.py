@@ -140,3 +140,18 @@ def test_pipelined_chunk_codec_dense_paths(monkeypatch):
         voffs += vb
     outs = list(fl_jax.decode_chunks(iter(dparts), bucket_frames=8))
     np.testing.assert_array_equal(np.concatenate(outs), data)
+
+
+def test_encode_chunks_rejects_misaligned_middle_chunk():
+    """Frame alignment is the byte-identity invariant: a misaligned
+    NON-final chunk must raise, not silently change the container."""
+    import pytest
+
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    chunks = [np.zeros(100, np.uint8), np.zeros(128, np.uint8)]
+    with pytest.raises(ValueError, match="last"):
+        list(fl_jax.encode_chunks(iter(chunks)))
+    # a misaligned LAST chunk is fine
+    ok = list(fl_jax.encode_chunks(iter(
+        [np.zeros(256, np.uint8), np.zeros(100, np.uint8)])))
+    assert len(ok) == 2
