@@ -56,3 +56,10 @@ from .container import (  # noqa: F401
     save_fl,
     save_rl,
 )
+from .api import (  # noqa: F401,E402
+    compress,
+    compress_file,
+    decompress,
+    decompress_file,
+    methods,
+)

@@ -129,3 +129,37 @@ def test_verify_flag_rl(blob, tmp_path, capsys):
     assert main(["c", "rl-cpu", src, str(tmp_path / "v.rl"),
                  "--verify"]) == 0
     assert "verification OK" in capsys.readouterr().err
+
+
+def test_library_api_one_call(tmp_path):
+    """Round-5 library API: compress/decompress in one call per
+    direction, bytes- and file-level, method table exposed."""
+    import numpy as np
+
+    import fl_rl_compression_mpi_tpu as flrl
+    from fl_rl_compression_mpi_tpu.ops import fl_numpy, rl_numpy
+    rng = np.random.default_rng(9)
+    data = rng.integers(0, 32, 128 * 64 + 9, np.uint8)
+    assert "fl" in flrl.methods() and "fl-mpi" in flrl.methods()
+    for method, golden in (("fl-cpu", fl_numpy), ("rl-cpu", rl_numpy)):
+        comp = flrl.compress(data, method=method)
+        np.testing.assert_array_equal(
+            flrl.decompress(comp, method=method), data)
+        # container files byte-identical to the golden encoder's
+        src = tmp_path / f"in_{method}.bin"
+        dst = tmp_path / f"out_{method}.c"
+        back = tmp_path / f"back_{method}.bin"
+        data.tofile(src)
+        flrl.compress_file(str(src), str(dst), method=method)
+        if method == "fl-cpu":
+            bg, vg = golden.encode(data)
+            exp = tmp_path / "exp.c"
+            flrl.save_fl(str(exp), flrl.FLCompressed(bg, vg, data.size))
+            assert open(dst, "rb").read() == open(exp, "rb").read()
+        flrl.decompress_file(str(dst), str(back), method=method)
+        np.testing.assert_array_equal(
+            np.fromfile(back, np.uint8), data)
+    # device-method dispatch resolves too (runs on CPU XLA here)
+    comp = flrl.compress(data, method="fl")
+    np.testing.assert_array_equal(flrl.decompress(comp, method="fl"),
+                                  data)
