@@ -155,3 +155,58 @@ def test_encode_chunks_rejects_misaligned_middle_chunk():
     ok = list(fl_jax.encode_chunks(iter(
         [np.zeros(256, np.uint8), np.zeros(100, np.uint8)])))
     assert len(ok) == 2
+
+
+def test_chunked_codec_random_split_equivalence():
+    """Property fuzz (round 5): for ANY frame-aligned chunking of a
+    stream mixing constant spans, w8 spans, and mixed-width content,
+    encode_chunks produces bit-identical (bits, values) to the
+    whole-buffer golden, and decode_chunks inverts it exactly (both
+    XLA-path here; the dense interpret twin lives above)."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax, fl_numpy
+    rng = np.random.default_rng(13)
+    for trial in range(6):
+        spans = []
+        for _ in range(rng.integers(2, 6)):
+            kind = rng.integers(0, 3)
+            ln = int(rng.integers(1, 40)) * 128
+            if kind == 0:
+                spans.append(np.full(ln, int(rng.integers(0, 256)),
+                                     np.uint8))
+            elif kind == 1:
+                s = rng.integers(0, 256, ln).astype(np.uint8)
+                s[::128] |= 128
+                spans.append(s)
+            else:
+                spans.append(rng.integers(
+                    0, 1 << int(rng.integers(1, 9)), ln).astype(
+                        np.uint8))
+        data = np.concatenate(spans)[: -int(rng.integers(0, 120)) or None]
+        bg, vg = fl_numpy.encode(data)
+        # random frame-aligned split points (+ ragged tail allowed)
+        nfr = -(-data.size // 128)
+        cuts = np.sort(rng.choice(np.arange(1, nfr), size=min(
+            int(rng.integers(1, 5)), nfr - 1), replace=False)) * 128
+        chunks = np.split(data, cuts)
+        parts = list(fl_jax.encode_chunks(iter(chunks),
+                                          bucket_frames=16))
+        np.testing.assert_array_equal(
+            np.concatenate([p[0] for p in parts]), bg, err_msg=str(trial))
+        np.testing.assert_array_equal(
+            np.concatenate([p[1] for p in parts]), vg, err_msg=str(trial))
+        # decode side over the same split
+        dparts, f0, voff = [], 0, 0
+        for c in chunks:
+            nf = -(-c.size // 128)
+            counts = np.minimum(
+                c.size - np.arange(nf, dtype=np.int64) * 128, 128)
+            vb = int(((bg[f0:f0 + nf].astype(np.int64) * counts + 7)
+                      // 8).sum())
+            dparts.append((c.size, bg[f0:f0 + nf],
+                           vg[voff:voff + vb]))
+            f0 += nf
+            voff += vb
+        outs = list(fl_jax.decode_chunks(iter(dparts),
+                                         bucket_frames=16))
+        np.testing.assert_array_equal(np.concatenate(outs), data,
+                                      err_msg=str(trial))
