@@ -33,13 +33,21 @@ def methods() -> dict[str, str]:
     return out
 
 
+def _as_u8(data) -> np.ndarray:
+    # np.asarray(b"...", np.uint8) treats bytes as a SCALAR and raises;
+    # frombuffer is the correct zero-copy view for bytes-like inputs
+    if isinstance(data, (bytes, bytearray, memoryview)):
+        return np.frombuffer(data, np.uint8)
+    return np.asarray(data, np.uint8)
+
+
 def compress(data, method: str = "fl", **opts):
     """Bytes → container struct (``FLCompressed`` / ``RLCompressed``).
 
     ``opts`` pass through to the backend (``frame_length`` for FL,
     ``devices`` for distributed methods)."""
     codec = resolve(method)
-    return codec.compress(np.asarray(data, np.uint8), **opts)
+    return codec.compress(_as_u8(data), **opts)
 
 
 def decompress(comp, method: str = "fl", **opts) -> np.ndarray:

@@ -316,6 +316,22 @@ def host_constant_decode_probe(bits: np.ndarray, values: np.ndarray,
     return None
 
 
+def host_identity_decode_probe(bits: np.ndarray, values: np.ndarray,
+                               n: int,
+                               frame_length: int = FRAME_LENGTH):
+    """Width-8 IDENTITY check (round 5), shared by every host decoder:
+    packing bytes at width 8 is the identity, so an all-8 widths header
+    means the payload IS the output — one memcpy, no device work (the
+    incompressible-stream class).  Returns the decoded bytes or None."""
+    frames = -(-n // frame_length)
+    if not frames or bits.size < frames or values.size < n:
+        return None
+    ba = bits[:frames]
+    if bool((ba == 8).all()):
+        return values[:n].copy()
+    return None
+
+
 def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192):
     """NumPy in → (bits u8[F], values u8[V]) out, exact sizes, bit-exact
@@ -384,9 +400,15 @@ def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
         fbp = (fl_dense_pallas.host_probe_uniform_b(buf, Ru)
                if npad % (Ru * 512) == 0 else None)
         if fbp is not None:
-            # per-width tile choice (w8 -> 2048 when the buffer allows;
-            # chip A/B in fl_dense_pallas.uniform_tile_r)
-            Ru = fl_dense_pallas.uniform_tile_r(fbp, npad // 512)
+            # per-width tile choice (chip A/B in uniform_tile_r); the
+            # probe proved masks at the BASE tile — re-check at the
+            # upgraded tile's Rb scale before switching (a missing mask
+            # would hit an assert, not a fallback)
+            Ru2 = fl_dense_pallas.uniform_tile_r(fbp, npad // 512)
+            if (Ru2 != Ru
+                    and fl_dense_pallas.uniform_kernel_available(fbp,
+                                                                 Ru2)):
+                Ru = Ru2
         dense = None
         krn = []
         with stage("Compression", n, result=krn):
@@ -477,8 +499,11 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
     bits = np.asarray(bits, np.uint8)
     values = np.asarray(values, np.uint8)
     n = int(output_size)
-    if n == 0 or bits.size == 0:
+    if n == 0:
         return np.zeros(0, np.uint8)
+    # (an EMPTY widths array with n > 0 is a corrupt container and falls
+    # through to the frame-count check below — it used to silently
+    # return empty output)
     # Validate the widths header against the claimed size BEFORE any
     # size-n work: a corrupt container claiming a huge inputSize must be
     # rejected in O(1), not after gigabytes of scratch allocation (the
@@ -495,15 +520,11 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
         from ..utils.timers import stage
         with stage("Decompression", n):      # --timers parity
             return np.full(n, c, np.uint8)
-    # Width-8 IDENTITY fast path (round 5): packing bytes at width 8 is
-    # the identity, so an all-8 widths header means the payload IS the
-    # output — one memcpy, no device round trip.  This is the
-    # incompressible-stream class (already-compressed inputs).
-    ba = bits[:frames]
-    if ba.size and values.size >= n and bool((ba == 8).all()):
+    out8 = host_identity_decode_probe(bits, values, n, frame_length)
+    if out8 is not None:
         from ..utils.timers import stage
         with stage("Decompression", n):
-            return values[:n].copy()
+            return out8
     cap = _device_cap(frame_length)
     if n > cap:
         # per-chunk value offsets from the widths header (the same
@@ -654,17 +675,26 @@ def decode(output_size: int, bits: np.ndarray, values: np.ndarray,
 def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
                   bucket_frames: int = 8192, depth: int = 2):
     """Pipelined encode over an iterable of NumPy byte chunks (all but
-    the last must be frame-aligned).  Yields ``(bits, values)`` per
-    chunk, in order.  Speculative dispatch (uniform / stream plan) is
+    the last must be frame-aligned).  Yields ``(bits, values)`` pairs
+    in order — one per chunk, except that chunks above the 1 GiB
+    device cap are split internally (frame-aligned) and yield one pair
+    per sub-chunk.  Speculative dispatch (uniform / stream plan) is
     submitted asynchronously; the authoritative flags are checked at
     drain time, one chunk later, so a miss re-runs the default program
-    without stalling the pipeline on the hit path."""
+    without stalling the pipeline on the hit path.
+
+    Memory note: speculative entries retain their device input words
+    until drain (the miss re-run needs them), so peak device memory is
+    ~2× a chunk's working set at depth 2 — size chunks accordingly on
+    small-HBM parts."""
     if frame_length % 8:
         raise ValueError(
             f"frame_length must be a multiple of 8, got {frame_length}")
     from collections import deque
 
+    from ..utils.timers import stage
     from .fields import fold
+    cap = _device_cap(frame_length)
 
     def submit(data):
         data = np.asarray(data, np.uint8)
@@ -687,7 +717,12 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
             fbp = (fl_dense_pallas.host_probe_uniform_b(buf, Ru)
                    if npad % (Ru * 512) == 0 else None)
             if fbp is not None:
-                Ru = fl_dense_pallas.uniform_tile_r(fbp, npad // 512)
+                # tile upgrade must re-prove mask availability (the
+                # probe checked the BASE tile only)
+                Ru2 = fl_dense_pallas.uniform_tile_r(fbp, npad // 512)
+                if (Ru2 != Ru and fl_dense_pallas
+                        .uniform_kernel_available(fbp, Ru2)):
+                    Ru = Ru2
                 b2, dn, flag = \
                     fl_dense_pallas.fl_encode_dense_uniform_pallas(
                         wordsj, nfj, fbp, tile_r=Ru,
@@ -705,16 +740,26 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
                 wordsj, nfj)
             return ("dense", n, frames, b2, dn.reshape(-1), None,
                     None, None)
+        wordsj = jnp.asarray(buf.view(np.uint32))          # async H2D
+        if _use_pack2(frame_length, npad // 4):
+            # pack-2 speculation (exp29, mirrors encode()): valid when
+            # every width ≤ 4 — known only at drain, where a miss
+            # re-runs the base kernel on the retained words
+            from . import fl_pallas
+            b2d, packed_d = fl_pallas.fl_encode_fields_packed_pallas(
+                wordsj, jnp.int32(n), frame_length)
+            return ("p2", n, frames, b2d, packed_d, wordsj)
         # base fields path (Pallas or XLA kernels): async dispatch, the
         # host fold runs at drain — overlapping the next chunk's device
         # work
         bits_d, fields_d = encode_fields_device(
-            jnp.asarray(buf.view(np.uint32)), jnp.int32(n), frame_length)
+            wordsj, jnp.int32(n), frame_length)
         return ("fields", n, frames, bits_d, fields_d)
 
     def drain(entry):
         if entry[0] == "ready":
             return entry[1]
+        wpf = frame_length // 4
         if entry[0] == "dense":
             from . import fl_dense_pallas
             _, n, frames, b2, dn, flag, wordsj, nfj = entry
@@ -724,23 +769,59 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
                 b2, dn2, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
                     wordsj, nfj)
                 dn = dn2.reshape(-1)
-            bits = np.asarray(jax.device_get(b2)).reshape(-1)[:frames]
-            counts = np.minimum(
-                n - np.arange(frames, dtype=np.int64) * frame_length,
-                frame_length)
-            vsz = int(((bits.astype(np.int64) * counts + 7) // 8).sum())
-            values = np.asarray(
-                jax.device_get(dn[: -(-vsz // 4)])).view(np.uint8)[:vsz]
+            with stage("Copy results to CPU"):
+                bits = np.asarray(
+                    jax.device_get(b2)).reshape(-1)[:frames]
+                counts = np.minimum(
+                    n - np.arange(frames, dtype=np.int64)
+                    * frame_length, frame_length)
+                vsz = int(((bits.astype(np.int64) * counts + 7)
+                           // 8).sum())
+                values = np.asarray(jax.device_get(
+                    dn[: -(-vsz // 4)])).view(np.uint8)[:vsz]
             return bits, values
+        if entry[0] == "p2":
+            from . import fl_pallas
+            from .fields import fold_p2
+            _, n, frames, b2d, packed_d, wordsj = entry
+            bits = np.asarray(jax.device_get(b2d)).reshape(-1)[:frames]
+            if int(bits.max()) <= 4:
+                tile_w = fl_pallas.PACK_TILE_R * 128
+                need = -(-(frames * wpf) // tile_w) * (tile_w // 2)
+                with stage("Copy results to CPU", frames + need * 4):
+                    packed_h = np.asarray(
+                        jax.device_get(packed_d[:need]))
+                with stage("Host fold (ragged placement)", n):
+                    return bits, fold_p2(packed_h, bits, n,
+                                         frame_length,
+                                         fl_pallas.PACK_TILE_R)
+            # speculation miss: base kernel on the retained words
+            bits_d, fields_d = encode_fields_device(
+                wordsj, jnp.int32(n), frame_length)
+            entry = ("fields", n, frames, bits_d, fields_d)
         _, n, frames, bits_d, fields_d = entry
-        wpf = frame_length // 4
         bits = np.asarray(jax.device_get(bits_d)).reshape(-1)[:frames]
-        fields_h = np.asarray(jax.device_get(fields_d))[: frames * wpf]
-        return bits, fold(fields_h, bits, n, frame_length)
+        with stage("Copy results to CPU", frames + frames * wpf * 4):
+            fields_h = np.asarray(
+                jax.device_get(fields_d))[: frames * wpf]
+        with stage("Host fold (ragged placement)", n):
+            return bits, fold(fields_h, bits, n, frame_length)
+
+    def capped(it):
+        # chunks above the device cap split frame-aligned (the cap is
+        # the int32 index-math bound the kernels assume — the serial
+        # encode() splits identically)
+        for d in it:
+            d = np.asarray(d, np.uint8)
+            if d.size <= cap:
+                yield d
+            else:
+                for off in range(0, d.size, cap):
+                    yield d[off:off + cap]
 
     pending = deque()
     tail_seen = [False]
-    for data in chunks:
+    for data in capped(chunks):
         # frame alignment is the correctness invariant (SURVEY finding
         # #3): a misaligned NON-final chunk would silently produce a
         # different container than the whole-buffer encode — reject it
@@ -748,7 +829,7 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
             raise ValueError(
                 "encode_chunks: a non-frame-aligned chunk must be the "
                 "last one")
-        if np.asarray(data).size % frame_length:
+        if data.size % frame_length:
             tail_seen[0] = True
         pending.append(submit(data))
         if len(pending) >= depth:
@@ -761,33 +842,37 @@ def decode_chunks(parts, frame_length: int = FRAME_LENGTH,
                   bucket_frames: int = 8192, depth: int = 2):
     """Pipelined decode over an iterable of ``(output_size, bits,
     values)`` frame-aligned container chunks.  Yields decoded u8 arrays
-    in order.  Per-chunk dispatch is exact (widths header known), so
-    there are no drain-time re-runs."""
+    in order — one per chunk, except that chunks above the 1 GiB device
+    cap are split internally (one output per sub-chunk).  Per-chunk
+    dispatch is exact (widths header known), so there are no drain-time
+    re-runs."""
     if frame_length % 8:
         raise ValueError(
             f"frame_length must be a multiple of 8, got {frame_length}")
     from collections import deque
 
     from .fields import unfold
+    cap = _device_cap(frame_length)
 
     def submit(n, bits, values):
         bits = np.asarray(bits, np.uint8)
         values = np.asarray(values, np.uint8)
         n = int(n)
-        if n == 0 or bits.size == 0:
+        if n == 0:
             return ("ready", np.zeros(0, np.uint8))
         frames = -(-n // frame_length)
         if bits.size < frames:
+            # incl. an EMPTY widths array with n > 0 — silently
+            # returning empty output would truncate the stream
             raise ValueError(
                 "fl decode: corrupt container (bits array shorter than "
                 f"frame count: {bits.size} < {frames})")
         c = host_constant_decode_probe(bits, values, n, frame_length)
         if c is not None:
             return ("ready", np.full(n, c, np.uint8))
-        ba = bits[:frames]
-        if ba.size and values.size >= n and bool((ba == 8).all()):
-            # width-8 identity (round 5): payload IS the output
-            return ("ready", values[:n].copy())
+        out8 = host_identity_decode_probe(bits, values, n, frame_length)
+        if out8 is not None:
+            return ("ready", out8)
         npad = pad_to_frames(n, frame_length, bucket_frames)
         if _use_dense_dec(frame_length, npad // 4):
             from . import fl_dense_pallas
@@ -851,8 +936,35 @@ def decode_chunks(parts, frame_length: int = FRAME_LENGTH,
             np.asarray(jax.device_get(out)).reshape(-1)).view(
                 np.uint8)[:n].copy()
 
+    def capped(it):
+        # parts above the device cap split frame-aligned via the widths
+        # header (same math as the serial decode's superchunk walk)
+        fpc = cap // frame_length
+        for n, bits, values in it:
+            n = int(n)
+            if n <= cap:
+                yield (n, bits, values)
+                continue
+            bits = np.asarray(bits, np.uint8)
+            values = np.asarray(values, np.uint8)
+            frames = -(-n // frame_length)
+            if bits.size < frames:
+                raise ValueError(
+                    "fl decode: corrupt container (bits array shorter "
+                    f"than frame count: {bits.size} < {frames})")
+            counts = np.minimum(
+                n - np.arange(frames, dtype=np.int64) * frame_length,
+                frame_length)
+            fbytes = (bits[:frames].astype(np.int64) * counts + 7) // 8
+            voffs = np.concatenate([[0], np.cumsum(fbytes)])
+            for off in range(0, n, cap):
+                f0 = off // frame_length
+                f1 = min(f0 + fpc, frames)
+                yield (min(cap, n - off), bits[f0:f1],
+                       values[voffs[f0]:voffs[f1]])
+
     pending = deque()
-    for part in parts:
+    for part in capped(parts):
         pending.append(submit(*part))
         if len(pending) >= depth:
             yield drain(pending.popleft())

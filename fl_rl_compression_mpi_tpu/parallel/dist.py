@@ -563,9 +563,15 @@ def compress_fl(data: np.ndarray, mesh: Mesh | None = None,
                and plan.shard_npad % (Ru * 512) == 0 else None)
         bits_h = dense_d = None
         if fbp is not None:
-            # per-width tile choice (w8 -> 2048; see uniform_tile_r)
+            # per-width tile choice (see uniform_tile_r); re-check mask
+            # availability at the upgraded tile before switching (the
+            # probe proved the BASE tile only)
             Ru_fb = fl_dense_pallas.uniform_tile_r(
                 fbp, plan.shard_npad // 512)
+            if (Ru_fb != Ru and not
+                    fl_dense_pallas.uniform_kernel_available(fbp,
+                                                             Ru_fb)):
+                Ru_fb = Ru
             b_u, d_u, flags = fl_compress_sharded_dense_uniform(
                 mesh, wd, nfs_arr, fbp, tile_r=Ru_fb)
             if not int(np.asarray(jax.device_get(flags)).sum()):
@@ -703,11 +709,10 @@ def decompress_fl(comp: FLCompressed, mesh: Mesh | None = None,
     if c is not None:
         return np.full(n, c, np.uint8)
     # width-8 identity (round 5): all-8 widths ⇒ payload == output.
-    frames_all = -(-n // frame_length)
-    ba8 = comp.bits[:frames_all]
-    if (ba8.size == frames_all and comp.values.size >= n
-            and bool((ba8 == 8).all())):
-        return comp.values[:n].copy()
+    out8 = fl_jax.host_identity_decode_probe(comp.bits, comp.values, n,
+                                             frame_length)
+    if out8 is not None:
+        return out8
     step = _superchunks(n, n_dev, frame_length)
     if step:
         frames = -(-n // frame_length)

@@ -68,3 +68,36 @@ def test_wide_frames_detected_by_widths():
     words, n = _prep(data)
     b_p, _ = fl_pallas.fl_encode_fields_packed_pallas(words, jnp.int32(n))
     assert int(np.asarray(b_p).max()) > 4
+
+
+def test_encode_chunks_pack2_speculation(monkeypatch):
+    """Round-5 review fix: the pipelined encode keeps the pack-2 fields
+    speculation (it had been dropped vs the serial path) — hit on a
+    w<=4 chunk, drain-time base-kernel re-run on a w8 chunk, both
+    byte-exact."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax, fl_numpy
+    monkeypatch.setattr(
+        fl_jax, "_use_pallas",
+        lambda fl_len, nw: fl_len == 128 and nw % (TR * 128) == 0)
+    calls = {"p2": 0}
+    orig = fl_pallas.fl_encode_fields_packed_pallas
+
+    def spy(*a, **k):
+        calls["p2"] += 1
+        return orig(*a, **k)
+
+    monkeypatch.setattr(fl_pallas, "fl_encode_fields_packed_pallas", spy)
+    rng = np.random.default_rng(31)
+    bucket = TR * 4             # npad//4 must be a (TR*128)-word multiple
+    hit = rng.integers(0, 16, 128 * bucket, np.uint8)
+    miss = rng.integers(0, 256, 128 * bucket, np.uint8)
+    miss[::64] |= 128
+    data = np.concatenate([hit, miss])
+    parts = list(fl_jax.encode_chunks(iter([hit, miss]),
+                                      bucket_frames=bucket))
+    assert calls["p2"] >= 2                  # speculated on both
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(
+        np.concatenate([p[0] for p in parts]), bg)
+    np.testing.assert_array_equal(
+        np.concatenate([p[1] for p in parts]), vg)

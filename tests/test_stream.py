@@ -210,3 +210,50 @@ def test_chunked_codec_random_split_equivalence():
                                          bucket_frames=16))
         np.testing.assert_array_equal(np.concatenate(outs), data,
                                       err_msg=str(trial))
+
+
+def test_chunked_codec_device_cap_split(monkeypatch):
+    """Chunks above the device cap split internally (frame-aligned) —
+    the streaming CLI passes user-sized chunks straight through, and
+    the cap is the int32 index-math bound the kernels assume."""
+    from fl_rl_compression_mpi_tpu.ops import fl_jax, fl_numpy
+    monkeypatch.setattr(fl_jax, "MAX_DEVICE_CHUNK", 128 * 64)
+    rng = np.random.default_rng(21)
+    data = rng.integers(0, 64, 128 * 300 + 17, np.uint8)
+    parts = list(fl_jax.encode_chunks(iter([data]), bucket_frames=8))
+    assert len(parts) > 1                 # really split
+    bg, vg = fl_numpy.encode(data)
+    np.testing.assert_array_equal(
+        np.concatenate([p[0] for p in parts]), bg)
+    np.testing.assert_array_equal(
+        np.concatenate([p[1] for p in parts]), vg)
+    outs = list(fl_jax.decode_chunks(iter([(data.size, bg, vg)]),
+                                     bucket_frames=8))
+    assert len(outs) > 1
+    np.testing.assert_array_equal(np.concatenate(outs), data)
+
+
+def test_decode_rejects_empty_widths_nonzero_claim():
+    """n > 0 with an empty widths array is a corrupt container and must
+    raise (the native decoder already does; the Python decoders used to
+    silently return empty output — a truncation)."""
+    import pytest
+
+    from fl_rl_compression_mpi_tpu.ops import fl_jax
+    with pytest.raises(ValueError, match="corrupt"):
+        fl_jax.decode(1000, np.zeros(0, np.uint8),
+                      np.zeros(0, np.uint8))
+    with pytest.raises(ValueError, match="corrupt"):
+        list(fl_jax.decode_chunks(iter(
+            [(1000, np.zeros(0, np.uint8), np.zeros(0, np.uint8))])))
+
+
+def test_api_accepts_python_bytes():
+    """flrl.compress advertised bytes-in; np.asarray(bytes) is a scalar
+    trap — pinned."""
+    import fl_rl_compression_mpi_tpu as flrl
+    raw = bytes(range(200)) * 80
+    comp = flrl.compress(raw, method="fl-cpu")
+    np.testing.assert_array_equal(
+        flrl.decompress(comp, method="fl-cpu"),
+        np.frombuffer(raw, np.uint8))
