@@ -727,19 +727,23 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
                     fl_dense_pallas.fl_encode_dense_uniform_pallas(
                         wordsj, nfj, fbp, tile_r=Ru,
                         nref=fl_dense_pallas.uniform_nref(fbp, Ru))
+                # probe the stream plan NOW (host buf is in scope) so a
+                # drain-time miss can try the planned program before
+                # the default — the serial path's fallback order
+                plan = fl_dense_pallas.host_probe_route_plan(buf)
                 return ("dense", n, frames, b2, dn.reshape(-1), flag,
-                        wordsj, nfj)
+                        wordsj, nfj, plan)
             wq, nq = fl_dense_pallas.host_probe_route_plan(buf)
             if wq > 1 or nq is not None:
                 b2, dn, _, _, flag = \
                     fl_dense_pallas.fl_encode_dense_pallas(
                         wordsj, nfj, wmin=wq, route_nbits=nq)
                 return ("dense", n, frames, b2, dn.reshape(-1), flag,
-                        wordsj, nfj)
+                        wordsj, nfj, (1, None))
             b2, dn, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
                 wordsj, nfj)
             return ("dense", n, frames, b2, dn.reshape(-1), None,
-                    None, None)
+                    None, None, (1, None))
         wordsj = jnp.asarray(buf.view(np.uint32))          # async H2D
         if _use_pack2(frame_length, npad // 4):
             # pack-2 speculation (exp29, mirrors encode()): valid when
@@ -762,13 +766,25 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
         wpf = frame_length // 4
         if entry[0] == "dense":
             from . import fl_dense_pallas
-            _, n, frames, b2, dn, flag, wordsj, nfj = entry
+            _, n, frames, b2, dn, flag, wordsj, nfj, plan = entry
             if flag is not None and int(jax.device_get(flag)) != 0:
-                # speculation miss (rare): re-run the default program
-                # on the retained device words
-                b2, dn2, _, _ = fl_dense_pallas.fl_encode_dense_pallas(
-                    wordsj, nfj)
-                dn = dn2.reshape(-1)
+                # speculation miss (rare): try the planned general
+                # program first (the serial fallback order), then the
+                # default, on the retained device words
+                wq, nq = plan
+                done = False
+                if wq > 1 or nq is not None:
+                    b2s, ds, _, _, pflag = \
+                        fl_dense_pallas.fl_encode_dense_pallas(
+                            wordsj, nfj, wmin=wq, route_nbits=nq)
+                    if int(jax.device_get(pflag)) == 0:
+                        b2, dn = b2s, ds.reshape(-1)
+                        done = True
+                if not done:
+                    b2, dn2, _, _ = \
+                        fl_dense_pallas.fl_encode_dense_pallas(
+                            wordsj, nfj)
+                    dn = dn2.reshape(-1)
             with stage("Copy results to CPU"):
                 bits = np.asarray(
                     jax.device_get(b2)).reshape(-1)[:frames]
