@@ -335,7 +335,14 @@ def host_identity_decode_probe(bits: np.ndarray, values: np.ndarray,
 def encode(data: np.ndarray, frame_length: int = FRAME_LENGTH,
            bucket_frames: int = 8192):
     """NumPy in → (bits u8[F], values u8[V]) out, exact sizes, bit-exact
-    with `fl_numpy.encode` (device fields kernel + host fold)."""
+    with `fl_numpy.encode` (device fields kernel + host fold).
+
+    MAINTENANCE: the dispatch chain below (constant → dense
+    uniform/plan/general → pack2 → fields) is mirrored by the
+    software-pipelined :func:`encode_chunks` (which trades the serial
+    per-phase [TIMER] stages and synchronous flag checks for overlap).
+    A change to either dispatch MUST be applied to both — the round-5
+    review caught real drift (pack2, timers)."""
     from .fields import fold
 
     if frame_length % 8:
@@ -686,7 +693,10 @@ def encode_chunks(chunks, frame_length: int = FRAME_LENGTH,
     Memory note: speculative entries retain their device input words
     until drain (the miss re-run needs them), so peak device memory is
     ~2× a chunk's working set at depth 2 — size chunks accordingly on
-    small-HBM parts."""
+    small-HBM parts.
+
+    MAINTENANCE: this dispatch mirrors :func:`encode` (see the note
+    there) — change both together."""
     if frame_length % 8:
         raise ValueError(
             f"frame_length must be a multiple of 8, got {frame_length}")
